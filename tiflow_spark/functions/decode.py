@@ -1,0 +1,109 @@
+"""Mounter — versioned payload decode with schema-evolution backfill.
+
+Reference: the mounter decodes raw bytes into a typed row against the schema
+snapshot at CRTs-1 (/root/reference/cdc/entry/mounter.go:115-160), building
+columns in schema order and backfilling columns absent in old encodings with
+defaults/NULL (datum2Column + getDefaultOrZeroValue, mounter.go:338-388,
+853-910). A fixed pool of 16 decode workers parallelizes it
+(/root/reference/cdc/entry/mounter_group.go:49).
+
+Two implementations with identical output (tested equal):
+
+- ``decode_payload`` (default): pure JVM. One ``from_json`` per registry
+  version, selected by a CASE on the event's schema_version; fields not in
+  the event's version are NULLed even if present in the JSON (the registry
+  governs, not the payload). Stays inside whole-stage codegen; zero Python.
+
+- ``decode_payload_pandas``: the vectorized Arrow/pandas mounter required by
+  the north rule — batches cross into Python via Arrow, each batch is decoded
+  grouped by schema_version (one vectorized parse per version present),
+  never per-row Python. Use when decode logic outgrows from_json (binary
+  payloads, charset handling, checksum verification).
+
+Parallelism is Spark task parallelism — the 16-worker mounter pool is free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiflow_spark.sources.registry import SchemaVersion, latest_schema
+
+
+def _field_expr(
+    registry: list[SchemaVersion], field: T.StructField, decoded: dict[int, Column]
+) -> Column:
+    """CASE schema_version WHEN v THEN decoded_v.field ... — NULL where the
+    field is not part of version v (the backfill rule)."""
+    expr: Column | None = None
+    null = F.lit(None).cast(field.dataType)
+    for v in registry:
+        val = decoded[v.schema_version][field.name] if field.name in v.field_names else null
+        cond = F.col("schema_version") == v.schema_version
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    assert expr is not None
+    return expr.otherwise(null).alias(field.name)
+
+
+def decode_payload(
+    events: DataFrame,
+    registry: list[SchemaVersion],
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode ``payload`` (JSON string) into typed columns of the latest
+    registry schema, version-resolved per event. JVM-only fast path."""
+    target = latest_schema(registry)
+    decoded = {
+        v.schema_version: F.from_json(F.col(payload_col), v.schema)
+        for v in registry
+    }
+    cols = [_field_expr(registry, f, decoded) for f in target.fields]
+    return events.select("*", *cols)
+
+
+def decode_payload_pandas(
+    events: DataFrame,
+    registry: list[SchemaVersion],
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched pandas mounter. Same output as ``decode_payload``.
+
+    mapInPandas keeps the whole row (payload + envelope) in one pass; within
+    each Arrow batch, rows are decoded grouped by schema_version — one
+    vectorized ``pd.json_normalize`` per version present in the batch.
+    """
+    target = latest_schema(registry)
+    out_schema = T.StructType(events.schema.fields + list(target.fields))
+    version_fields = {v.schema_version: set(v.field_names) for v in registry}
+    target_fields = [(f.name, f.dataType) for f in target.fields]
+
+    def mount(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_cols = {name: pd.Series([None] * len(pdf), dtype="object") for name, _ in target_fields}
+            for ver, grp_idx in pdf.groupby("schema_version").groups.items():
+                allowed = version_fields.get(int(ver))
+                payloads = pdf.loc[grp_idx, payload_col]
+                mask = payloads.notna()
+                if not mask.any():
+                    continue
+                parsed = pd.json_normalize(payloads[mask].map(__import__("json").loads))
+                parsed.index = payloads[mask].index
+                for name, _dtype in target_fields:
+                    if allowed is not None and name not in allowed:
+                        continue  # backfill: stays NULL for this version
+                    if name in parsed.columns:
+                        out_cols[name].loc[parsed.index] = parsed[name]
+            res = pdf.copy()
+            for name, dtype in target_fields:
+                col = out_cols[name]
+                if isinstance(dtype, T.TimestampType):
+                    col = pd.to_datetime(col, format="ISO8601", utc=True).dt.tz_localize(None)
+                res[name] = col
+            yield res
+
+    return events.mapInPandas(mount, schema=out_schema)
