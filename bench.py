@@ -1,0 +1,101 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the core CDC replay
+throughput benchmark (generated change log → full pipeline → COW merge), and
+prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "cdc_replay": {"events": N, "events_per_sec": X}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+bench_scaling.py — separate processes, since a SparkSession's core count is
+fixed per JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "cdc_lww_final_state",
+    "cdc_net_op_algebra",
+    "cdc_update_split",
+    "cdc_checksum_chunks",
+    "text_stats",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_minhash_sigs",
+    "dedup_simhash",
+    "ann_topk",
+]
+
+
+def run_cdc_replay(spark, n_convs: int, workdir: str) -> dict:
+    """End-to-end replay: generate events (not timed separately — it fuses
+    into the pipeline scan), LWW + decode + merge into a COW table."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.datagen import GenSpec, generate_change_events
+    from tiflow_spark.sources.registry import default_registry
+
+    spec = GenSpec(n_convs=n_convs, hot_turns=256, n_source_partitions=32)
+    events_path = f"{workdir}/events"
+    generate_change_events(spark, spec).write.mode("overwrite").parquet(events_path)
+    events = spark.read.parquet(events_path)
+    n = events.count()
+
+    table = CowTable(spark, f"{workdir}/table", n_buckets=32)
+    t0 = time.time()
+    apply_epoch(table, default_registry(spec.ddl_ts), events, batch_id=0)
+    dt = time.time() - t0
+    return {"events": n, "seconds": round(dt, 3), "events_per_sec": round(n / dt)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from tiflow_spark.plans.bench_queries import QUERIES
+    from tiflow_spark.session import get_spark
+
+    spark = get_spark("tiflow_spark_bench", cores=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # blackhole sink
+        timings[name] = round(time.time() - t0, 3)
+
+    workdir = "/tmp/tiflow_spark_bench"
+    shutil.rmtree(workdir, ignore_errors=True)
+    replay_convs = {"0.001": 2_000, "0.01": 20_000, "0.1": 60_000}.get(sf, 60_000)
+    replay = run_cdc_replay(spark, replay_convs, workdir)
+    timings["cdc_replay"] = replay["seconds"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (CDC replay + operator queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cdc_replay": replay,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

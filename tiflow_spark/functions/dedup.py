@@ -1,0 +1,191 @@
+"""Deduplication suite for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard near-dup —
+each expressed so the heavy lifting is a shuffle Spark already optimizes:
+
+- exact: one partial-aggregating groupBy on a fingerprint — at 100 TB this
+  shuffles one row per distinct document, not per input row;
+- MinHash/LSH: shingle → k min-hashes → band keys → self-join on band
+  (candidates only; |candidates| << |pairs|), verify with true Jaccard;
+- SimHash: 64-bit majority signature via bit-count aggregation, block join;
+- n-gram Jaccard: inverted shingle index join (exact, for small candidate
+  sets or verification).
+
+MinHash signatures here use min(md5(seed || shingle)) — string min-hash.
+md5 is deterministic across engines, which is what makes the DuckDB oracle
+in __spark_entry__ possible; for pure-Spark runs xxhash64 variants would be
+~2x faster, a noted flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiflow_spark.functions.text import fingerprint
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) text. Returns
+    (fp, keep_id, n_dupes)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Character n-gram shingle set per document: (id, shingle), distinct.
+    Built with sequence+transform (JVM), exploded lazily."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, k: int = 8
+) -> DataFrame:
+    """k min-hashes per document: one groupBy, k min() aggregates over
+    md5(seed || shingle). Output: (id, h0..h{k-1})."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(seed)), F.col("shingle")))).alias(f"h{seed}")
+        for seed in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the k-wide signature into `bands` groups of k/bands rows; docs
+    sharing any band key are candidates. Output: (id_a, id_b) with a < b."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    banded = sigs.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)])
+        ).alias("band_key"),
+    )
+    left = stacked.alias("a")
+    right = stacked.alias("b")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, candidates: DataFrame | None = None, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs. With `candidates` given, verifies only
+    those (the LSH path); otherwise all pairs via the inverted shingle index
+    (quadratic in bucket size — small inputs / verification only).
+    Output: (id_a, id_b, jaccard)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: per word-token hash, majority vote per
+    bit. Pure DataFrame math: explode tokens → for each bit, sum ±1 →
+    reassemble. One groupBy; the 64 aggregates are one vectorized pass.
+    Output: (id, simhash)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{bit}")
+        for bit in range(64)
+    ]
+    votes = toks.groupBy("id").agg(*aggs)
+    sig = None
+    for bit in range(64):
+        contrib = F.when(F.col(f"b{bit}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << bit).cast("long") if bit < 63 else F.when(
+            F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = contrib if sig is None else sig + contrib
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on (max_hamming + 1) bit-slices of
+    the signature — by pigeonhole, any pair within the distance bound agrees
+    exactly on at least one slice — then verify true Hamming distance.
+    Fewer blocks = cheaper join but tighter guarantee; 4 x 16-bit blocks is
+    the classic <=3 configuration. Output: (id_a, id_b, hamming)."""
+    n_blocks = min(max_hamming + 1, 32)
+    width = -(-64 // n_blocks)  # ceil; last block may be narrower
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .cast("string"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, "block")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

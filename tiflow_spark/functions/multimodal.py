@@ -1,0 +1,138 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque `binary` columns with typed metadata, processed by
+Arrow-batched pandas UDFs over ``mapInPandas`` — the same vectorized-decode
+architecture as the CDC mounter (functions/decode.py). The Spark-side
+contract (schema, batch shape, partition sizing) is real and tested; the
+codec step itself is STUBBED (``decode="none"``) or deterministic-fake
+(``decode="fake"``) because no image/audio libraries exist in this
+container. Swapping in PIL/torchaudio is a one-function change inside the
+UDF — the distributed plan is unchanged.
+
+Scale notes: binary payloads make wide rows — `spark.sql.files.
+maxPartitionBytes` bounds scan tasks; feature extraction keeps only the
+(id, features) projection so the shuffle after extraction never carries the
+bytes; `repartition` before the UDF balances decode cost, not byte size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", T.StructType(
+            [
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("duration_ms", T.IntegerType()),
+                T.StructField("codec", T.StringType()),
+            ]
+        )),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payload derived from id)."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(
+            F.concat(F.lit("MEDIA"), F.col("id").cast("string"),
+                     F.repeat(F.lit("x"), (F.pmod(F.xxhash64("id"), F.lit(64)) + 8).cast("int"))),
+            "UTF-8",
+        ).alias("content"),
+    )
+    return df.withColumn(
+        "meta",
+        F.struct(
+            (F.pmod(F.xxhash64("media_id", F.lit("w")), F.lit(1920)) + 1).cast("int").alias("width"),
+            (F.pmod(F.xxhash64("media_id", F.lit("h")), F.lit(1080)) + 1).cast("int").alias("height"),
+            (F.pmod(F.xxhash64("media_id", F.lit("d")), F.lit(60000)) + 1).cast("int").alias("duration_ms"),
+            F.lit("fake/v1").alias("codec"),
+        ),
+    )
+
+
+def _decode_stub(content: bytes, kind: str, mode: str) -> np.ndarray:
+    if mode == "none":
+        raise NotImplementedError(
+            "media codec not available in this environment; install the "
+            "image/audio libs and replace _decode_stub"
+        )
+    # deterministic fake decode: bytes → fixed-dim pseudo-feature
+    arr = np.frombuffer(content, dtype=np.uint8).astype(np.float32)
+    out = np.zeros(8, dtype=np.float32)
+    for i, v in enumerate(arr):
+        out[i % 8] += float(v)
+    return out / max(len(arr), 1)
+
+
+def extract_features(
+    media: DataFrame, decode: str = "fake", batch_hint: int | None = None
+) -> DataFrame:
+    """Decode + featurize media via Arrow-batched mapInPandas.
+
+    The UDF sees whole Arrow batches of rows; per-batch it vectorizes the
+    cheap parts (hash, sizes) and loops only over the (stubbed) codec call —
+    which a real implementation would hand to a native decoder.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(c, k, decode).tolist()
+                for c, k in zip(pdf["content"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_hash": pdf["content"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "feature": feats,
+                }
+            )
+
+    src = media.repartition(batch_hint) if batch_hint else media
+    return src.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame with the
+    byte range/timestamp a real demuxer would decode. Pure JVM (explode over
+    a sequence) — the expensive decode happens downstream in
+    ``extract_features`` per frame row."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest((F.col("meta.duration_ms") / every_ms).cast("int") - 1, F.lit(0)))
+        ).alias("frame_idx"),
+    ).withColumn("sample_ms", F.col("frame_idx") * every_ms)

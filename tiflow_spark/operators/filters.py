@@ -1,0 +1,85 @@
+"""Event filtering — the filter/expr_filter/binlog-filter family.
+
+Reference:
+- table/schema include-exclude (/root/reference/pkg/filter/filter.go:164-238);
+- SQL-expression DML filters evaluated per event type
+  (/root/reference/pkg/filter/expr_filter.go:230-383);
+- event-type skip rules (/root/reference/pkg/filter/sql_event_filter.go;
+  /root/reference/pkg/binlog-filter/filter.go).
+
+Spark form: all of these are Catalyst predicates — `expr()` strings the
+user supplies, pushed down by the optimizer. The rule engine reduces to
+building one boolean column. No custom evaluator needed (the reference
+embeds TiDB's expression engine; Catalyst *is* ours).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from fnmatch import fnmatch
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class EventFilterRule:
+    """One changefeed filter rule (filter.go + expr_filter.go analog).
+
+    - ``ignore_ops``: event types to drop entirely, e.g. {"D"} to skip
+      deletes (sql_event_filter analog).
+    - ``ignore_insert_expr`` / ``ignore_update_new_expr`` /
+      ``ignore_update_old_expr`` / ``ignore_delete_expr``: SQL expressions
+      over the *decoded* row; a matching event is dropped
+      (expr_filter.go:251-383 — note update has both old- and new-image
+      predicates; old-image ones apply to ``pre_*`` columns).
+    """
+
+    ignore_ops: frozenset[str] = frozenset()
+    ignore_insert_expr: str | None = None
+    ignore_update_new_expr: str | None = None
+    ignore_update_old_expr: str | None = None
+    ignore_delete_expr: str | None = None
+
+
+def keep_predicate(rule: EventFilterRule) -> Column:
+    """Boolean keep-column for decoded events (columns: op, decoded payload
+    fields, and pre_* fields if update-old predicates are used)."""
+    drop = F.lit(False)
+    if rule.ignore_ops:
+        drop = drop | F.col("op").isin(*rule.ignore_ops)
+    if rule.ignore_insert_expr:
+        drop = drop | ((F.col("op") == "I") & F.expr(rule.ignore_insert_expr))
+    if rule.ignore_update_new_expr:
+        drop = drop | ((F.col("op") == "U") & F.expr(rule.ignore_update_new_expr))
+    if rule.ignore_update_old_expr:
+        drop = drop | ((F.col("op") == "U") & F.expr(rule.ignore_update_old_expr))
+    if rule.ignore_delete_expr:
+        drop = drop | ((F.col("op") == "D") & F.expr(rule.ignore_delete_expr))
+    return ~drop
+
+
+def apply_event_filter(events: DataFrame, rule: EventFilterRule) -> DataFrame:
+    return events.filter(keep_predicate(rule))
+
+
+@dataclass(frozen=True)
+class TableFilter:
+    """Include/exclude glob patterns over table names (filter.go:230-238).
+    Our stream is single-table, but multi-table changefeeds route by a
+    `table_name` column."""
+
+    include: tuple[str, ...] = ("*",)
+    exclude: tuple[str, ...] = field(default_factory=tuple)
+
+    def should_ignore(self, table: str) -> bool:
+        if any(fnmatch(table, p) for p in self.exclude):
+            return True
+        return not any(fnmatch(table, p) for p in self.include)
+
+    def apply(self, events: DataFrame, col: str = "table_name") -> DataFrame:
+        # evaluated driver-side over the (small) distinct table set, then a
+        # broadcast isin — pattern match never runs per row
+        tables = [r[0] for r in events.select(col).distinct().collect()]
+        keep = [t for t in tables if not self.should_ignore(t)]
+        return events.filter(F.col(col).isin(keep))

@@ -86,8 +86,18 @@ class CowTable:
         self.n_buckets = n_buckets
         self.key_cols = key_cols
         self.data_cols = data_cols
+        # column types, for NULL backfill when a column is absent (schema
+        # evolution: a pre-DDL batch/file lacks columns added later —
+        # Iceberg add-column semantics, NULL for old data)
+        self.data_types = {"role": "string", "text": "string", "tool": "string", "ts": "timestamp"}
         os.makedirs(f"{root}/_manifest", exist_ok=True)
         os.makedirs(f"{root}/_lineage", exist_ok=True)
+
+    def _with_all_data_cols(self, df: DataFrame) -> DataFrame:
+        missing = [c for c in self.data_cols if c not in df.columns]
+        for c in missing:
+            df = df.withColumn(c, F.lit(None).cast(self.data_types.get(c, "string")))
+        return df
 
     # ---------------- manifest (atomic metadata) ----------------
 
@@ -130,7 +140,8 @@ class CowTable:
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: bucket files written before a DDL lack later columns
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def snapshot(self, include_tombstones: bool = False) -> DataFrame:
         """Current table state. Public view: tombstones filtered, internal
@@ -148,6 +159,7 @@ class CowTable:
                 "__commit_ts LONG, __start_ts LONG, __op_order INT, __deleted BOOLEAN"
             )
             df = self.spark.createDataFrame([], schema)
+        df = self._with_all_data_cols(df)
         if include_tombstones:
             return df
         return df.filter(~F.col("__deleted")).drop(*VERSION_COLS, "__deleted")
@@ -198,7 +210,7 @@ class CowTable:
         )
 
         # net effect per key within the batch (sorter + compactor)
-        net = lww_latest(with_op_order(batch), self.key_cols)
+        net = lww_latest(with_op_order(self._with_all_data_cols(batch)), self.key_cols)
         net = net.select(
             *self.key_cols,
             *self.data_cols,
@@ -212,7 +224,9 @@ class CowTable:
         affected = [int(r["bucket"]) for r in net.select("bucket").distinct().collect()]
         existing = self._read_buckets(manifest, affected)
         if existing is not None:
-            existing = existing.withColumn("bucket", self._bucket_col())
+            existing = self._with_all_data_cols(existing).withColumn(
+                "bucket", self._bucket_col()
+            )
             candidates = existing.unionByName(net)
         else:
             candidates = net

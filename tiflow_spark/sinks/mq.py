@@ -1,0 +1,82 @@
+"""MQ (Kafka-style) sink: row → encoded message with partition routing.
+
+Reference:
+- MQ dml sink batches, encodes, sends (/root/reference/cdc/sink/dmlsink/mq/
+  mq_dml_sink.go, worker.go:155-266);
+- partition dispatchers route a row to a Kafka partition by table / handle-
+  key index-value / ts / key / columns
+  (/root/reference/cdc/sink/dmlsink/mq/dispatcher/partition/*.go);
+- canal-JSON-ish envelope (/root/reference/pkg/sink/codec/canal/).
+
+Spark form: encoding is one `to_json(struct(...))` projection; routing is a
+hash column; "send" is `df.write.format("kafka")` on a real cluster — here
+(no Kafka broker/jar) the encoded frame is returned / written to partitioned
+files, which is also exactly the storage-consumer replay contract the
+reference tests with (/root/reference/cmd/kafka-consumer/main.go:36).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canal_json_envelope(decoded: DataFrame, key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> Column:
+    """Canal-JSON-like message: type, ts, pk names, data columns."""
+    data_cols = [c for c in decoded.columns if c not in {"op", "op_order", *key_cols}]
+    return F.to_json(
+        F.struct(
+            F.when(F.col("op") == "I", "INSERT")
+            .when(F.col("op") == "U", "UPDATE")
+            .otherwise("DELETE")
+            .alias("type"),
+            F.col("commit_ts").alias("es"),
+            F.array(*[F.lit(k) for k in key_cols]).alias("pkNames"),
+            F.struct(*[F.col(c) for c in key_cols], *[F.col(c) for c in data_cols]).alias("data"),
+        )
+    )
+
+
+def dispatch_partition(
+    mode: str,
+    n_partitions: int,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> Column:
+    """Partition dispatchers (dispatcher/partition/*.go):
+    - "table": all rows of one table to one partition (table.go:39) — single
+      table here, constant 0;
+    - "index-value": hash of the handle-key values (index_value.go:45-87) —
+      per-key ordering preserved, the default;
+    - "ts": by commit_ts (ts.go:32);
+    - "key": hash of conv_id only (hot conversations stay together).
+    """
+    if mode == "table":
+        return F.lit(0)
+    if mode == "index-value":
+        return F.pmod(F.xxhash64(*key_cols), F.lit(n_partitions)).cast("int")
+    if mode == "ts":
+        return F.pmod(F.col("commit_ts"), F.lit(n_partitions)).cast("int")
+    if mode == "key":
+        return F.pmod(F.xxhash64(key_cols[0]), F.lit(n_partitions)).cast("int")
+    raise ValueError(f"unknown dispatch mode {mode}")
+
+
+def encode_for_mq(
+    decoded: DataFrame,
+    n_partitions: int = 16,
+    dispatch: str = "index-value",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """(key, value, partition) message frame — the exact shape
+    `df.write.format("kafka")` takes."""
+    return decoded.select(
+        F.to_json(F.struct(*[F.col(c) for c in key_cols])).alias("key"),
+        canal_json_envelope(decoded, key_cols).alias("value"),
+        dispatch_partition(dispatch, n_partitions, key_cols).alias("partition"),
+    )
+
+
+def write_mq_files(frame: DataFrame, out_dir: str) -> None:
+    """File-backed stand-in for the broker: one dir per partition, ordered
+    within by the consumer's replay sort."""
+    frame.write.mode("overwrite").partitionBy("partition").parquet(out_dir)

@@ -47,22 +47,43 @@ CHANGE_EVENT_SCHEMA = T.StructType(
 
 @dataclass
 class Changefeed:
-    """One replication job: change-event log dir → CowTable."""
+    """One replication job: change-event log dir → CowTable.
+
+    Schema evolution: pass ``registry_path`` instead of a static ``registry``
+    and the feed reloads the registry at every epoch boundary — the DDL
+    puller/barrier analog (/root/reference/cdc/puller/ddl_puller.go:60-302,
+    /root/reference/cdc/owner/barrier.go:22-47): a DDL lands as a registry
+    append (sources/registry.py add_version) between epochs; the next epoch
+    decodes with the new version.
+    """
 
     spark: SparkSession
     events_dir: str
     table: CowTable
-    registry: list[SchemaVersion]
+    registry: list[SchemaVersion] | None
     checkpoint_dir: str
     max_files_per_trigger: int = 4
     decoder: str = "jvm"
+    registry_path: str | None = None
     batch_log: list = field(default_factory=list)  # (batch_id, MergeStats)
+
+    def _current_registry(self) -> list[SchemaVersion]:
+        if self.registry_path is not None:
+            from tiflow_spark.sources.registry import load_registry
+
+            return load_registry(self.spark, self.registry_path)
+        assert self.registry is not None
+        return self.registry
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
             res = apply_epoch(
-                self.table, self.registry, batch, int(batch_id), decoder=self.decoder
+                self.table,
+                self._current_registry(),
+                batch,
+                int(batch_id),
+                decoder=self.decoder,
             )
             self.batch_log.append((int(batch_id), res.stats))
         finally:
