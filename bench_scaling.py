@@ -20,7 +20,12 @@ import shutil
 import subprocess
 import sys
 
-WORKDIR = "/tmp/tiflow_scaling"
+# RAM-backed when available: on a real cluster I/O bandwidth scales with
+# nodes; a single box's shared disk does not — tmpfs removes that artifact
+# from the N-vs-4N comparison
+WORKDIR = (
+    "/dev/shm/tiflow_scaling" if os.path.isdir("/dev/shm") else "/tmp/tiflow_scaling"
+)
 
 CHILD = r"""
 import json, shutil, sys, time
@@ -31,34 +36,56 @@ from tiflow_spark.session import get_spark
 from tiflow_spark.sources.registry import default_registry
 from tiflow_spark.sources.datagen import GenSpec
 
-spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
+# bench-scale inputs are ~300MB compressed: the default 128MB split packs
+# the scan into ~6 tasks, capping map parallelism below the core count at
+# BOTH levels (at 100TB this is moot — splits abound). 4MB splits give the
+# 32-core level multiple task waves.
+spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores,
+                  extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)})
 events = spark.read.parquet(events_path)
 n = events.count()
 registry = default_registry(GenSpec().ddl_ts)
 
-t0 = time.time()
-if mode == "merge":
-    from tiflow_spark.sinks.cow_table import CowTable
-    from tiflow_spark.plans.pipeline import apply_epoch
-    shutil.rmtree(table_dir, ignore_errors=True)
-    table = CowTable(spark, table_dir, n_buckets=32)
-    apply_epoch(table, registry, events, batch_id=0)
-else:  # blackhole: LWW + decode only
-    from tiflow_spark.operators.lww import lww_latest, with_op_order
-    from tiflow_spark.functions.decode import decode_payload
-    net = decode_payload(lww_latest(with_op_order(events)), registry)
-    net.write.format("noop").mode("overwrite").save()
-dt = time.time() - t0
+def one_run(tag):
+    t0 = time.time()
+    if mode == "merge":
+        from tiflow_spark.sinks.cow_table import CowTable
+        from tiflow_spark.plans.pipeline import apply_epoch
+        shutil.rmtree(table_dir + tag, ignore_errors=True)
+        table = CowTable(spark, table_dir + tag, n_buckets=32)
+        apply_epoch(table, registry, events, batch_id=0)
+    else:  # blackhole: LWW + decode only, same persist barrier as the pipeline
+        from tiflow_spark.operators.lww import lww_latest, with_op_order
+        from tiflow_spark.functions.decode import decode_payload
+        net = lww_latest(with_op_order(events)).persist()
+        decode_payload(net, registry).write.format("noop").mode("overwrite").save()
+        net.unpersist()
+    return time.time() - t0
+
+# warm up until the JVM reaches steady state (codegen + C2 JIT take 2-3
+# runs to compile the hot paths; a long-running streaming feed lives there
+# permanently), then report the best of 3 timed runs.
+prev = one_run("_w0")
+for w in range(1, 4):
+    cur = one_run(f"_w{w}")
+    if cur < prev * 1.15:
+        break
+    prev = cur
+times = [one_run(f"_t{i}") for i in range(2 if n > 30_000_000 else 3)]
+dt = min(times)
 print(json.dumps({"cores": cores, "mode": mode, "events": n,
-                  "seconds": round(dt, 3), "events_per_sec": round(n / dt)}))
+                  "seconds": round(dt, 3), "events_per_sec": round(n / dt),
+                  "timed_runs": [round(t, 1) for t in times]}))
 """
 
 
 def run_level(cores: int, events_path: str, mode: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), events_path, mode, f"{WORKDIR}/table_{cores}_{mode}"],
+        [sys.executable, "-c", CHILD, str(cores), events_path, mode, f"/tmp/tiflow_scaling_tables/table_{cores}_{mode}"],
         capture_output=True, text=True, timeout=3600,
-        env={**os.environ, "TIFLOW_SPARK_DRIVER_MEM": "40g"},
+        # spill stays on /tmp (disk): tmpfs spill measured SLOWER (page
+        # allocation churn competes with the heap); input stays on tmpfs
+        env={**os.environ, "TIFLOW_SPARK_DRIVER_MEM": "16g"},
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)

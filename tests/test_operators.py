@@ -148,7 +148,8 @@ def test_datagen_deterministic_and_skewed(spark):
 
     counts = e1.groupBy("conv_id").count().collect()
     total = sum(r["count"] for r in counts)
-    hot = sum(r["count"] for r in counts if int(r["conv_id"][1:]) < 2)
+    stride = spec.n_convs // max(1, int(spec.n_convs * spec.hot_conv_fraction))
+    hot = sum(r["count"] for r in counts if int(r["conv_id"][1:]) % stride == 0)
     assert hot / total > 0.15, "hot convs should carry a disproportionate share"
 
     # source partitions are key-aligned: each conv in exactly one partition

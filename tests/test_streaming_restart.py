@@ -100,3 +100,14 @@ def test_epoch_files_band_commit_ts(spark, tmp_path):
             continue
         lo, hi = df.selectExpr("min(commit_ts)", "max(commit_ts)").first()
         assert lo >= k * 1000 and hi < (k + 1) * 1000
+
+
+def test_synced_status(spark, tmp_path):
+    from tiflow_spark.sources.datagen import TS_BAND
+
+    feed = make_feed(spark, tmp_path, max_files_per_trigger=4)
+    assert not feed.synced()  # nothing applied yet
+    feed.run_available_now()
+    # after a full drain the applied watermark is within one commit_ts band
+    # of the newest source event (the last epoch's frontier)
+    assert feed.synced(lag_threshold=TS_BAND)

@@ -34,3 +34,38 @@ def resolved_ts(events: DataFrame) -> int | None:
     empty batch."""
     row = partition_frontiers(events).agg(F.min("resolved_ts").alias("rts")).first()
     return row["rts"] if row else None
+
+
+def observe_frontiers(events: DataFrame, max_partitions: int = 64):
+    """Frontier + lineage as *observed metrics* riding on whatever job next
+    scans ``events`` — zero extra pass over the input (the reference
+    likewise advances resolved-ts inline on the event stream,
+    /root/reference/cdc/puller/multiplexing_puller.go:440-480).
+
+    Spark's Observation API only supports global aggregates, so the
+    per-partition maxima/counts are expressed as one conditional aggregate
+    pair per source partition id (bounded by ``max_partitions`` — a config
+    of the log layout, 32 by default in the generator).
+
+    Returns (events_with_observer, fetch) where fetch() — valid after an
+    action ran — yields [(source_partition, resolved_ts, n_events), ...].
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("frontiers")
+    aggs = []
+    for p in range(max_partitions):
+        cond = F.col("source_partition") == p
+        aggs.append(F.max(F.when(cond, F.col("commit_ts"))).alias(f"rts_{p}"))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{p}"))
+    observed = events.observe(obs, *aggs)
+
+    def fetch() -> list[tuple[int, int, int]]:
+        m = obs.get
+        return [
+            (p, int(m[f"rts_{p}"]), int(m[f"n_{p}"]))
+            for p in range(max_partitions)
+            if m[f"n_{p}"] and m[f"rts_{p}"] is not None
+        ]
+
+    return observed, fetch

@@ -25,7 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 from tiflow_spark.functions.decode import decode_payload, decode_payload_pandas
-from tiflow_spark.operators.frontier import partition_frontiers
+from tiflow_spark.operators.frontier import observe_frontiers
 from tiflow_spark.operators.lww import lww_latest, with_op_order
 from tiflow_spark.sinks.cow_table import CowTable, MergeStats
 from tiflow_spark.sources.registry import SchemaVersion
@@ -44,19 +44,40 @@ def apply_epoch(
     batch_id: int,
     decoder: str = "jvm",
 ) -> EpochResult:
-    """Process one microbatch of raw change events into the table."""
+    """Process one microbatch of raw change events into the table.
+
+    Action layout (one full pass over the raw events + one over net rows):
+    the frontier aggregate and the LWW reduce both scan the raw batch; the
+    caller (streaming runner) persists the batch so the scan is one read.
+    The merge is told the batch is pre-reduced, so it skips its own LWW.
+    """
     ev = with_op_order(batch)
 
-    frontiers = partition_frontiers(ev).collect()
+    # frontier + lineage ride on the LWW job as observed metrics — the raw
+    # events are scanned ONCE per epoch (the reference's puller computes its
+    # frontier inline on the same stream, multiplexing_puller.go:440)
+    ev, frontier_observation = observe_frontiers(ev)
+
+    # persist the reduced rows BEFORE decoding: projecting from_json onto
+    # the aggregate output folds the decode into the aggregate's result
+    # expressions (measured ~75x slower); the cache is a plan barrier and
+    # the net rows (one per live key) are the smallest point in the pipeline
+    net = lww_latest(ev).persist()
+    net.count()  # materialize → frontier metrics become available
+
     lineage_rows = [
-        (batch_id, int(r["source_partition"]), int(r["resolved_ts"]), int(r["n_events"]))
-        for r in frontiers
+        (batch_id, part, rts, n)
+        for part, rts, n in frontier_observation()
     ]
     resolved = min((r[2] for r in lineage_rows), default=None)
 
-    net = lww_latest(ev)
-    decode = decode_payload_pandas if decoder == "pandas" else decode_payload
-    dec = decode(net, registry)
+    try:
+        decode = decode_payload_pandas if decoder == "pandas" else decode_payload
+        dec = decode(net, registry)
 
-    stats = table.merge(dec, batch_id, resolved_ts=resolved, lineage_rows=lineage_rows)
+        stats = table.merge(
+            dec, batch_id, resolved_ts=resolved, lineage_rows=lineage_rows, pre_reduced=True
+        )
+    finally:
+        net.unpersist()
     return EpochResult(stats=stats, resolved_ts=resolved)

