@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "dedup_minhash_sigs",
     "dedup_simhash",
     "ann_topk",
+    "ann_lsh_topk",
+    "embedding_near_dups",
 ]
 
 

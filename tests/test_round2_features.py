@@ -1,0 +1,318 @@
+"""Round-2 feature tests: in-stream DDL, pre-image decode, key-change split
+on real payloads, vacuum, multi-table changefeeds, LSH-verify parity,
+frontier carry-forward, observation overflow, high-dim ANN."""
+
+import glob
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.test_e2e_replay import assert_matches_oracle, oracle_state
+from tiflow_spark.functions import dedup as dd
+from tiflow_spark.functions import similarity as sim
+from tiflow_spark.functions.decode import decode_payload, decode_pre_image
+from tiflow_spark.operators.frontier import observe_frontiers
+from tiflow_spark.operators.update_split import split_updates
+from tiflow_spark.sinks.cow_table import CowTable, data_schema_from_registry
+from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+from tiflow_spark.sources.registry import SchemaVersion, default_registry
+from tiflow_spark.streaming.runner import Changefeed
+
+DDL_SPEC = GenSpec(n_convs=60, seed=11, emit_ddl=True)
+
+
+# ---------------------------------------------------------------- DDL in-stream
+
+def test_ddl_in_stream(spark, tmp_path):
+    """The DDL event travels IN the change log (op='DDL', payload = schema
+    JSON); the feed starts knowing only v1. Post-DDL rows must decode with
+    v2 (tool populated), pre-DDL rows backfill NULL — ddl_puller.go:190-302
+    + barrier.go:22-47 semantics."""
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, DDL_SPEC, events_dir)
+    table = CowTable(spark, str(tmp_path / "table"), n_buckets=8)
+    v1 = default_registry(DDL_SPEC.ddl_ts)[0]
+    feed = Changefeed(
+        spark=spark,
+        events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table=table,
+        registry=[v1],
+        ddl_in_stream=True,
+        max_files_per_trigger=3,
+    )
+    feed.run_available_now()
+    # the DDL registered v2 mid-stream
+    assert [v.schema_version for v in feed.registry] == [1, 2]
+    # final state equals the oracle, including v2-decoded tool values
+    from dataclasses import replace
+
+    spec_no_ddl = replace(DDL_SPEC, emit_ddl=False)
+    assert_matches_oracle(table, oracle_state(spark, spec_no_ddl))
+    snap = table.snapshot()
+    assert snap.filter(F.col("tool").isNotNull()).count() > 0
+
+
+def test_unregistered_version_fails_loudly(spark, tmp_path):
+    """A DML whose schema_version has no registry entry and no in-batch DDL
+    must error, not silently NULL its payload (the reference blocks on
+    schema resolved-ts, schema_storage.go:152-178)."""
+    events_dir = str(tmp_path / "events")
+    # emit WITHOUT the DDL event but with v2 rows in the log
+    write_epoch_files(spark, GenSpec(n_convs=20, seed=3), events_dir)
+    table = CowTable(spark, str(tmp_path / "table"), n_buckets=4)
+    v1 = default_registry(1_000_000_000)[0]  # registry knows only v1
+    feed = Changefeed(
+        spark=spark,
+        events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table=table,
+        registry=[v1],
+        ddl_in_stream=True,
+        max_files_per_trigger=100,
+    )
+    with pytest.raises(Exception, match="schema_version"):
+        feed.run_available_now()
+
+
+# ---------------------------------------------------------------- pre-image
+
+PRE_REG = [
+    SchemaVersion(
+        1,
+        0,
+        T.StructType(
+            [
+                T.StructField("turn", T.IntegerType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+]
+
+
+@pytest.fixture()
+def keyed_updates(spark):
+    rows = [
+        # key-preserving update
+        ("U", 100, 99, "c1", 5, 1, '{"turn": 5, "text": "new5"}', '{"turn": 5, "text": "old5"}', 0),
+        # key-CHANGING update: turn 4 -> 6
+        ("U", 200, 199, "c1", 6, 1, '{"turn": 6, "text": "new6"}', '{"turn": 4, "text": "old4"}', 0),
+        # plain insert (no pre-image)
+        ("I", 300, 299, "c2", 1, 1, '{"turn": 1, "text": "ins"}', None, 1),
+    ]
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "schema_version LONG, payload STRING, pre_payload STRING, source_partition INT"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pre_image_decode(spark, keyed_updates):
+    dec = decode_pre_image(decode_payload(keyed_updates, PRE_REG), PRE_REG)
+    got = {r["commit_ts"]: (r["text"], r["pre_text"], r["pre_turn"]) for r in dec.collect()}
+    assert got[100] == ("new5", "old5", 5)
+    assert got[200] == ("new6", "old4", 4)
+    assert got[300] == ("ins", None, None)  # no pre-image -> NULL backfill
+
+
+def test_key_change_split_on_real_payloads(spark, keyed_updates):
+    """ShouldSplitKVEntry on DECODED pre-image key (kv.go:113-130): only the
+    key-changing update splits into delete(old key) + insert(new key)."""
+    dec = decode_pre_image(decode_payload(keyed_updates, PRE_REG), PRE_REG)
+    out = split_updates(dec, pre_key_cols={"turn_idx": "pre_turn"})
+    rows = sorted(
+        (r["op"], r["conv_id"], r["turn_idx"], r["commit_ts"]) for r in out.collect()
+    )
+    assert ("U", "c1", 5, 100) in rows          # unchanged key passes through
+    assert ("D", "c1", 4, 200) in rows          # delete at the OLD key
+    assert ("I", "c1", 6, 200) in rows          # insert at the NEW key
+    assert ("U", "c1", 6, 200) not in rows
+    assert len(rows) == 4
+
+
+# ---------------------------------------------------------------- vacuum
+
+def test_vacuum_bounds_data_dir(spark, tmp_path):
+    """20 epochs through auto-vacuuming merge: the data dir holds at most
+    keep_manifests generations of bucket files (expire_snapshots analog),
+    and the final state is still correct."""
+    root = str(tmp_path / "table")
+    table = CowTable(spark, root, n_buckets=4, auto_vacuum_keep=2)
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "role STRING, text STRING, tool STRING, ts TIMESTAMP, source_partition INT"
+    )
+    for e in range(20):
+        rows = [
+            ("I", 100 + e, 99 + e, f"c{k}", 0, "user", f"t{e}", None, None, 0)
+            for k in range(6)
+        ]
+        table.merge(spark.createDataFrame(rows, schema), batch_id=e)
+    bucket_dirs = glob.glob(f"{root}/data/*/bucket=*")
+    assert len(bucket_dirs) <= 2 * table.n_buckets, bucket_dirs
+    snap = {r["conv_id"]: r["text"] for r in table.snapshot().collect()}
+    assert snap == {f"c{k}": "t19" for k in range(6)}
+
+
+# ---------------------------------------------------------------- multi-table
+
+def test_multi_table_changefeed(spark, tmp_path):
+    """Two tables with DIFFERENT payload schemas replicate through ONE
+    changefeed — routing by table_name (event_router.go:91-132); per-table
+    registry and CowTable (round-1 gap: hardcoded single shape)."""
+    reg_a = [SchemaVersion(1, 0, T.StructType([
+        T.StructField("role", T.StringType()), T.StructField("text", T.StringType())]))]
+    reg_b = [SchemaVersion(1, 0, T.StructType([
+        T.StructField("note", T.StringType()), T.StructField("amount", T.LongType())]))]
+
+    rows = [
+        ("I", 10, 9, "c1", 0, 1, '{"role":"user","text":"hi"}', None, 0, "chats"),
+        ("U", 20, 19, "c1", 0, 1, '{"role":"user","text":"hi2"}', None, 0, "chats"),
+        ("I", 10, 9, "o1", 0, 1, '{"note":"n1","amount":5}', None, 1, "orders"),
+        ("D", 30, 29, "o1", 0, 1, None, None, 1, "orders"),
+        ("I", 15, 14, "o2", 1, 1, '{"note":"n2","amount":7}', None, 1, "orders"),
+    ]
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "schema_version LONG, payload STRING, pre_payload STRING, "
+        "source_partition INT, table_name STRING"
+    )
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows, schema).write.parquet(events_dir)
+
+    t_a = CowTable(spark, str(tmp_path / "ta"), n_buckets=4,
+                   data_schema=data_schema_from_registry(reg_a))
+    t_b = CowTable(spark, str(tmp_path / "tb"), n_buckets=4,
+                   data_schema=data_schema_from_registry(reg_b))
+    feed = Changefeed(
+        spark=spark,
+        events_dir=events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tables={"chats": (t_a, reg_a), "orders": (t_b, reg_b)},
+    )
+    feed.run_available_now()
+
+    a = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t_a.snapshot().collect()}
+    assert a == {("c1", 0): "hi2"}
+    b = {(r["conv_id"], r["turn_idx"]): (r["note"], r["amount"]) for r in t_b.snapshot().collect()}
+    assert b == {("o2", 1): ("n2", 7)}  # o1 deleted by the later D
+
+
+# ---------------------------------------------------------------- LSH parity
+
+def test_lsh_verify_parity_with_exact(spark):
+    """Candidate-driven Jaccard verification returns exactly the exact-path
+    values for every candidate pair, and band collisions recover all
+    crafted high-similarity pairs."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (0, base * 4),
+            (1, base * 4 + "tail"),          # near-identical to 0
+            (2, "completely different words entirely unrelated content"),
+            (3, base * 2 + "middle variation " + base * 2),  # similar to 0/1
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sh = dd.shingles(docs)
+    sigs = dd.minhash_signatures(sh, k=8)
+    cand = dd.lsh_candidate_pairs(sigs, k=8, bands=4)
+    lsh = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+           for r in dd.jaccard_pairs(sh, candidates=cand).collect()}
+    exact = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+             for r in dd.jaccard_pairs(sh).collect()}
+    # every candidate pair's verified value equals the exact value
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    # the crafted near-dups are recovered by banding
+    assert (0, 1) in lsh and lsh[(0, 1)] > 0.9
+    assert (0, 3) in lsh
+
+
+# ------------------------------------------------------- frontier semantics
+
+def test_frontier_carry_forward(spark, tmp_path):
+    """A source partition absent from a batch keeps its last frontier: the
+    table watermark is min over ALL known partitions (ADVICE round 1 —
+    otherwise gc_tombstones could drop a tombstone a straggler partition
+    could still out-race)."""
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "role STRING, text STRING, tool STRING, ts TIMESTAMP, source_partition INT"
+    )
+    df = spark.createDataFrame([("I", 1, 0, "c", 0, "u", "x", None, None, 0)], schema)
+    table.merge(df, batch_id=0, lineage_rows=[(0, 0, 100, 1), (0, 1, 200, 1)])
+    assert table.current_manifest()["resolved_ts"] == 100
+    # batch 1: only partition 1 present, far ahead
+    df2 = spark.createDataFrame([("I", 2, 1, "c", 1, "u", "y", None, None, 1)], schema)
+    table.merge(df2, batch_id=1, lineage_rows=[(1, 1, 900, 1)])
+    m = table.current_manifest()
+    assert m["resolved_ts"] == 100, "absent partition must hold the watermark"
+    assert m["frontiers"] == {"0": 100, "1": 900}
+    # partition 0 catches up -> watermark advances to the true min
+    df3 = spark.createDataFrame([("I", 3, 2, "c", 2, "u", "z", None, None, 0)], schema)
+    table.merge(df3, batch_id=2, lineage_rows=[(2, 0, 850, 1)])
+    assert table.current_manifest()["resolved_ts"] == 850
+
+
+def test_observe_frontiers_overflow_raises(spark):
+    df = spark.createDataFrame(
+        [(100, 2), (200, 70)], "commit_ts LONG, source_partition INT"
+    )
+    observed, fetch = observe_frontiers(df, max_partitions=64)
+    observed.write.format("noop").mode("overwrite").save()
+    with pytest.raises(ValueError, match="source_partition"):
+        fetch()
+
+
+def test_gc_tombstones_returns_real_count(spark, tmp_path):
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "role STRING, text STRING, tool STRING, ts TIMESTAMP, source_partition INT"
+    )
+    rows = [
+        ("I", 10, 9, "a", 0, "u", "x", None, None, 0),
+        ("D", 20, 19, "b", 0, None, None, None, None, 0),   # old tombstone
+        ("D", 90, 89, "c", 0, None, None, None, None, 0),   # recent tombstone
+    ]
+    table.merge(spark.createDataFrame(rows, schema), batch_id=0)
+    removed = table.gc_tombstones(below_resolved_ts=50)
+    assert removed == 1
+    snap = table.snapshot(include_tombstones=True)
+    assert snap.filter("__deleted").count() == 1  # the recent one survives
+
+
+# ---------------------------------------------------------------- high-dim ANN
+
+def test_ann_high_dim_recall(spark):
+    """dim=256: the plane matrix is ONE literal (no per-dim expression
+    blowup — round-1 weakness); clustered corpus recall >= 0.9 vs brute
+    force with multiprobe."""
+    dim, n_clusters = 256, 8
+    base = spark.range(200).select(
+        F.col("id").alias("vec_id"), (F.col("id") % n_clusters).alias("cl")
+    )
+    # deterministic cluster center + small per-vector jitter, all JVM exprs
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            (F.xxhash64(F.col("cl"), d) % 1000).cast("double") / 500.0
+            + (F.xxhash64(F.col("vec_id"), d) % 100).cast("double") / 1000.0
+        ),
+    )
+    corpus = base.select("vec_id", comp.alias("embedding"))
+    queries = corpus.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.topk_cosine(corpus, queries, k=5)
+    approx = sim.lsh_bucket_topk(corpus, queries, dim=dim, k=5, n_planes=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"recall {recall}"

@@ -36,7 +36,10 @@ from tiflow_spark.sources.registry import SchemaVersion, latest_schema
 
 
 def _field_expr(
-    registry: list[SchemaVersion], field: T.StructField, decoded: dict[int, Column]
+    registry: list[SchemaVersion],
+    field: T.StructField,
+    decoded: dict[int, Column],
+    prefix: str = "",
 ) -> Column:
     """CASE schema_version WHEN v THEN decoded_v.field ... — NULL where the
     field is not part of version v (the backfill rule)."""
@@ -47,7 +50,7 @@ def _field_expr(
         cond = F.col("schema_version") == v.schema_version
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     assert expr is not None
-    return expr.otherwise(null).alias(field.name)
+    return expr.otherwise(null).alias(prefix + field.name)
 
 
 def _is_add_only(registry: list[SchemaVersion]) -> bool:
@@ -67,6 +70,7 @@ def decode_payload(
     events: DataFrame,
     registry: list[SchemaVersion],
     payload_col: str = "payload",
+    prefix: str = "",
 ) -> DataFrame:
     """Decode ``payload`` (JSON string) into typed columns of the latest
     registry schema, version-resolved per event. JVM-only fast path.
@@ -74,7 +78,8 @@ def decode_payload(
     Add-only registries decode with ONE from_json of the latest schema and
     gate each field on the version that introduced it (identical semantics,
     ~4x smaller generated code → faster whole-stage-codegen compile). The
-    general path keeps one from_json per version.
+    general path keeps one from_json per version. ``prefix`` namespaces the
+    output columns (used for old-image decode, see ``decode_pre_image``).
     """
     target = latest_schema(registry)
     if _is_add_only(registry):
@@ -88,7 +93,7 @@ def decode_payload(
         cols = [
             F.when(F.col("schema_version") >= intro[f.name], d[f.name])
             .otherwise(F.lit(None).cast(f.dataType))
-            .alias(f.name)
+            .alias(prefix + f.name)
             for f in target.fields
         ]
         return events.select("*", *cols)
@@ -96,8 +101,22 @@ def decode_payload(
         v.schema_version: F.from_json(F.col(payload_col), v.schema)
         for v in registry
     }
-    cols = [_field_expr(registry, f, decoded) for f in target.fields]
+    cols = [_field_expr(registry, f, decoded, prefix) for f in target.fields]
     return events.select("*", *cols)
+
+
+def decode_pre_image(
+    events: DataFrame,
+    registry: list[SchemaVersion],
+    pre_payload_col: str = "pre_payload",
+) -> DataFrame:
+    """Decode the old-value image into ``pre_*`` columns — the mounter's
+    PreColumns path (/root/reference/cdc/entry/mounter.go:256-269, 740).
+    Only updates (and deletes, when the source captures old values) carry a
+    pre-image; rows with a NULL pre_payload decode to all-NULL pre_* columns.
+    Enables old-image expression filters (expr_filter.go update-old
+    predicates) and key-change update splitting on real payloads."""
+    return decode_payload(events, registry, payload_col=pre_payload_col, prefix="pre_")
 
 
 def decode_payload_pandas(

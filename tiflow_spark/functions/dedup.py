@@ -7,14 +7,15 @@ each expressed so the heavy lifting is a shuffle Spark already optimizes:
   shuffles one row per distinct document, not per input row;
 - MinHash/LSH: shingle → k min-hashes → band keys → self-join on band
   (candidates only; |candidates| << |pairs|), verify with true Jaccard;
-- SimHash: 64-bit majority signature via bit-count aggregation, block join;
-- n-gram Jaccard: inverted shingle index join (exact, for small candidate
-  sets or verification).
+- SimHash: 60-bit majority signature via bit-count aggregation, block join;
+- n-gram Jaccard: exact verification driven BY the candidate pair list
+  (two hash joins), or the inverted shingle index for small all-pairs runs.
 
-MinHash signatures here use min(md5(seed || shingle)) — string min-hash.
-md5 is deterministic across engines, which is what makes the DuckDB oracle
-in __spark_entry__ possible; for pure-Spark runs xxhash64 variants would be
-~2x faster, a noted flag.
+Hashing (functions/xhash.py): ONE md5 per shingle/token reduced to a 60-bit
+int; the k MinHash permutations are integer universal hashes on top of it.
+That is both the fast path (round 1 spent 37% of the bench on k md5 strings
+per shingle) AND the oracle path — DuckDB evaluates the identical integer
+arithmetic, so every function here has an exact cross-engine oracle.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tiflow_spark.functions.text import fingerprint
+from tiflow_spark.functions.xhash import P_MH, h60, minhash_params
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,35 +51,35 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
     )
 
 
-def minhash_signatures(
-    sh: DataFrame, k: int = 8
-) -> DataFrame:
-    """k min-hashes per document: one groupBy, k min() aggregates over
-    md5(seed || shingle). Output: (id, h0..h{k-1})."""
+def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
+    """k min-hashes per document: one md5 per shingle reduced to a 60-bit
+    int, then k universal-hash permutations min()'d in one groupBy
+    (map-side combine: one signature row per doc crosses the shuffle).
+    Output: (id, h0..h{k-1}) as BIGINT."""
+    base = h60(F.col("shingle")) % F.lit(P_MH)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(seed)), F.col("shingle")))).alias(f"h{seed}")
-        for seed in range(k)
+        F.min((F.lit(a) * base + F.lit(b)) % F.lit(P_MH)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
     ]
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, k: int = 8, bands: int = 4
-) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
     """Band the k-wide signature into `bands` groups of k/bands rows; docs
     sharing any band key are candidates. Output: (id_a, id_b) with a < b."""
     rows_per_band = k // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
-    banded = sigs.select("id", *band_cols)
-    stacked = banded.select(
-        "id",
-        F.explode(
-            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)])
-        ).alias("band_key"),
-    )
+    band_keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[
+                F.col(f"h{b * rows_per_band + i}").cast("string")
+                for i in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    stacked = sigs.select("id", F.explode(F.array(*band_keys)).alias("band_key"))
     left = stacked.alias("a")
     right = stacked.alias("b")
     return (
@@ -91,21 +93,36 @@ def lsh_candidate_pairs(
 def jaccard_pairs(
     sh: DataFrame, candidates: DataFrame | None = None, threshold: float = 0.0
 ) -> DataFrame:
-    """Exact n-gram Jaccard for pairs. With `candidates` given, verifies only
-    those (the LSH path); otherwise all pairs via the inverted shingle index
-    (quadratic in bucket size — small inputs / verification only).
-    Output: (id_a, id_b, jaccard)."""
+    """Exact n-gram Jaccard. With ``candidates`` given, the join is DRIVEN by
+    the candidate pairs: candidates ⋈ shingles(id_a) ⋈ shingles(id_b, same
+    shingle) — cost is sum over candidate pairs of |shingles(a)|, LINEAR in
+    the candidate count. (Round 1 ran the full all-pairs inverted-index
+    self-join first and semi-joined after — LSH pruned nothing and common
+    trigrams made the self-join quadratic; this plan never builds it.)
+    Without candidates: the inverted-index all-pairs path, for small inputs
+    or verification only. Output: (id_a, id_b, jaccard)."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        inter = (
+            candidates.join(
+                sh.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+            )
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("shingle")),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
@@ -119,30 +136,27 @@ def jaccard_pairs(
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: per word-token hash, majority vote per
-    bit. Pure DataFrame math: explode tokens → for each bit, sum ±1 →
-    reassemble. One groupBy; the 64 aggregates are one vectorized pass.
-    Output: (id, simhash)."""
+    """60-bit SimHash per document: per word-token md5-derived hash, majority
+    vote per bit. Pure DataFrame math: explode tokens → for each bit, sum ±1
+    → reassemble. One groupBy; the 60 aggregates are one vectorized pass.
+    60 bits (15 md5 hex chars) keeps the signature cross-engine exact (see
+    xhash.py). Output: (id, simhash)."""
+    n_bits = 60
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    h = h60(F.col("tok"))
     aggs = [
         F.sum(
             F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{bit}")
-        for bit in range(64)
+        for bit in range(n_bits)
     ]
     votes = toks.groupBy("id").agg(*aggs)
-    sig = None
-    for bit in range(64):
-        contrib = F.when(F.col(f"b{bit}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << bit).cast("long") if bit < 63 else F.when(
-            F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sig = contrib if sig is None else sig + contrib
+    sig = F.lit(0).cast("long")
+    for bit in range(n_bits):
+        sig = sig + F.when(F.col(f"b{bit}") > 0, F.lit(1 << bit)).otherwise(0).cast("long")
     return votes.select("id", sig.alias("simhash"))
 
 

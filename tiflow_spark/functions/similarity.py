@@ -6,17 +6,23 @@ Brute-force cosine top-k as the exactness baseline, plus two scale paths:
   `F.zip_with` + `F.aggregate` (JVM higher-order functions, no Python);
   per-query top-k via window rank. Cost O(|corpus| * |queries|) — right
   when |queries| is small (the broadcast side).
-- ``lsh_bucket_topk``: random-hyperplane LSH — `n_planes` deterministic
-  hyperplanes hash each vector to a bucket; queries only score candidates
-  in their bucket (+ multiprobe neighbors at Hamming distance 1). The
-  IVF-style scale path: a 100 TB corpus is scanned once to bucket, then
-  each query touches |corpus| / 2^n_planes rows.
-- ``embedding_near_dups``: all-pairs cosine above a threshold within LSH
-  buckets — the embedding near-dup detector for training-data dedup.
+- ``lsh_bucket_topk``: random-hyperplane LSH — queries only score candidate
+  corpus vectors in their bucket (+ multiprobe neighbors at Hamming
+  distance 1). The IVF-style scale path: a 100 TB corpus is scanned once to
+  bucket, then each query touches |corpus| / 2^n_planes rows.
+- ``embedding_near_dups``: all-pairs cosine above a threshold, candidate-
+  limited to shared LSH buckets across ``n_tables`` independent hash tables
+  (multi-table LSH): recall grows with n_tables, bucket size shrinks with
+  planes-per-table, so the within-bucket pair blowup is tunable
+  independently of recall — the 100 TB knob.
 
-Deterministic hyperplanes: components derived from xxhash64(seed, plane,
-dim) mapped to [-1, 1] — reproducible across runs/cluster sizes with no RNG
-state (same rule as the event generator).
+Determinism & oracle parity (see functions/xhash.py): hyperplane
+coefficients are md5-derived integers computed driver-side (no RNG state —
+reproducible on any cluster size), attached to the plan as ONE nested-array
+literal (not dim*n_planes scalar literals — constant-size codegen at any
+dim); embeddings are quantized to fixed-point longs, so bucket signs and
+cosine ranks are exact integer/IEEE-double results DuckDB reproduces
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -24,25 +30,54 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tiflow_spark.functions.xhash import dot_long, h60_py, qvec
 
-def _dot(a: Column, b: Column) -> Column:
+
+def _fdot(a: Column, b: Column) -> Column:
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-
-
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Float cosine over array columns (general-purpose; NOT the oracle path
+    — cross-engine float sums are order-sensitive, use ``qcosine``)."""
+    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    return _fdot(a, b) / (norm(a) * norm(b))
 
 
-def _as_double(col: str) -> Column:
-    return F.col(col).cast("array<double>")
+def qcosine(qa: Column, qb: Column) -> Column:
+    """Cosine of two quantized (array<long>) vectors: exact integer dots,
+    one deterministic double division — bit-identical across engines."""
+    return dot_long(qa, qb).cast("double") / (
+        F.sqrt(dot_long(qa, qa).cast("double")) * F.sqrt(dot_long(qb, qb).cast("double"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "plane") -> list[list[int]]:
+    """Deterministic integer hyperplane matrix, coefficients in [-1000, 1000].
+
+    coeff[p][d] = h60(f"{seed}:{p}:{d}") % 2001 - 1000 — the same formula the
+    DuckDB oracle embeds, so buckets agree exactly.
+    """
+    return [
+        [h60_py(f"{seed}:{p}:{d}") % 2001 - 1000 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def bucket_of(qv: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id of a quantized vector: sign pattern over the planes.
+
+    The plane matrix enters the plan as one nested-array literal; each
+    plane's projection is one zip_with+aggregate — expression count is
+    O(n_planes), independent of dim (the round-1 per-dim-literal codegen
+    blowup is gone)."""
+    pl = F.lit(planes)
+    bucket = F.lit(0).cast("long")
+    for p in range(len(planes)):
+        bucket = bucket + F.when(dot_long(qv, pl[p]) > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
 
 
 def topk_cosine(
@@ -55,47 +90,13 @@ def topk_cosine(
 ) -> DataFrame:
     """Exact top-k neighbors per query. `queries` (query_id, embedding) is
     broadcast; corpus scanned once. Output: (query_id, vec_id, rank, sim)."""
-    q = queries.select(
-        F.col(query_id_col), _as_double(vec_col).alias("qvec")
-    )
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("cvec"))
-    sim = cosine(F.col("qvec"), F.col("cvec"))
+    q = queries.select(F.col(query_id_col), qvec(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col), qvec(F.col(vec_col)).alias("cv"))
     scored = c.crossJoin(F.broadcast(q)).select(
-        query_id_col, id_col, sim.alias("sim")
+        query_id_col, id_col, qcosine(F.col("qv"), F.col("cv")).alias("sim")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-
-
-def hyperplane_bucket(
-    vec: Column, dim: int, n_planes: int = 8, seed: int = 42
-) -> Column:
-    """LSH bucket id: sign pattern of `n_planes` deterministic hyperplanes.
-
-    plane[p][d] = (xxhash64(seed,p,d) % 2001 - 1000) / 1000  in [-1, 1].
-    """
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        coeffs = F.array(
-            *[
-                (
-                    (
-                        F.xxhash64(F.lit(seed), F.lit(p), F.lit(d)) % 2001
-                        + F.lit(2001)
-                    )
-                    % 2001
-                    - 1000
-                ).cast("double")
-                / 1000.0
-                for d in range(dim)
-            ]
-        )
-        proj = _dot(vec, coeffs)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-    return bucket
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_bucket_topk(
@@ -104,7 +105,7 @@ def lsh_bucket_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 6,
-    seed: int = 42,
+    seed: str = "plane",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -113,11 +114,12 @@ def lsh_bucket_topk(
     """Approximate top-k: score only corpus vectors in the query's bucket
     (and, with multiprobe, buckets at Hamming distance 1 — recovers most
     recall lost at bucket boundaries). Output like ``topk_cosine``."""
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("cvec"))
-    c = c.withColumn("bucket", hyperplane_bucket(F.col("cvec"), dim, n_planes, seed))
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col), qvec(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("bucket", bucket_of(F.col("cv"), planes))
 
-    q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("qvec"))
-    q = q.withColumn("qbucket", hyperplane_bucket(F.col("qvec"), dim, n_planes, seed))
+    q = queries.select(F.col(query_id_col), qvec(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("qbucket", bucket_of(F.col("qv"), planes))
     if multiprobe:
         probes = F.array(
             F.col("qbucket"),
@@ -125,40 +127,56 @@ def lsh_bucket_topk(
         )
     else:
         probes = F.array(F.col("qbucket"))
-    q = q.select(query_id_col, "qvec", F.explode(probes).alias("bucket"))
+    q = q.select(query_id_col, "qv", F.explode(probes).alias("bucket"))
 
-    sim = cosine(F.col("qvec"), F.col("cvec"))
     scored = c.join(F.broadcast(q), "bucket").select(
-        query_id_col, id_col, sim.alias("sim")
+        query_id_col, id_col, qcosine(F.col("qv"), F.col("cv")).alias("sim")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def embedding_near_dups(
     corpus: DataFrame,
     dim: int,
-    threshold: float = 0.95,
-    n_planes: int = 8,
-    seed: int = 42,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 1,
+    seed: str = "plane",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold, candidate-limited to
-    shared LSH buckets. Output: (id_a, id_b, sim)."""
-    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
-    c = c.withColumn("bucket", hyperplane_bucket(F.col("vec"), dim, n_planes, seed))
-    a, b = c.alias("a"), c.alias("b")
+    """Near-duplicate pairs by cosine >= threshold, candidates limited to
+    pairs sharing a bucket in ANY of ``n_tables`` independent hyperplane
+    tables. Output: (id_a, id_b, sim).
+
+    Scale shape: per table, a pair survives only if all n_planes signs
+    agree, so expected bucket occupancy is |corpus| / 2^n_planes — raise
+    n_planes to cap the within-bucket all-pairs cost, raise n_tables to buy
+    recall back. (Round-1 weakness: one table with few planes forced
+    quadratic blowup inside giant buckets.)
+    """
+    c = corpus.select(F.col(id_col).alias("id"), qvec(F.col(vec_col)).alias("qv"))
+    keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                bucket_of(F.col("qv"), hyperplanes(dim, n_planes, f"{seed}{t if t else ''}")).cast(
+                    "string"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    blocked = c.select("id", "qv", F.explode(keys).alias("bkey"))
+    a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
-        a.join(b, "bucket")
+        a.join(b, "bkey")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"),
+            qcosine(F.col("a.qv"), F.col("b.qv")).alias("sim"),
         )
         .distinct()
     )

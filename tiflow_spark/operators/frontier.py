@@ -58,10 +58,23 @@ def observe_frontiers(events: DataFrame, max_partitions: int = 64):
         cond = F.col("source_partition") == p
         aggs.append(F.max(F.when(cond, F.col("commit_ts"))).alias(f"rts_{p}"))
         aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{p}"))
+    # overflow guard: a source_partition >= max_partitions would otherwise be
+    # merged but silently excluded from lineage and the resolved_ts min —
+    # a wrong (overstated) watermark. Count them and fail loudly.
+    over = F.col("source_partition") >= max_partitions
+    aggs.append(F.sum(F.when(over, 1).otherwise(0)).alias("n_overflow"))
+    aggs.append(F.max(F.when(over, F.col("source_partition"))).alias("max_overflow"))
     observed = events.observe(obs, *aggs)
 
     def fetch() -> list[tuple[int, int, int]]:
         m = obs.get
+        if m["n_overflow"]:
+            raise ValueError(
+                f"observe_frontiers: {m['n_overflow']} events carry "
+                f"source_partition up to {m['max_overflow']}, beyond "
+                f"max_partitions={max_partitions} — raise max_partitions to "
+                "match the feed's source layout or the watermark would be wrong"
+            )
         return [
             (p, int(m[f"rts_{p}"]), int(m[f"n_{p}"]))
             for p in range(max_partitions)

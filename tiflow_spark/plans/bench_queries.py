@@ -7,16 +7,23 @@ Each query exists twice with identical semantics and column names:
 The CDC queries derive a deterministic change-event view from the `events`
 table using only arithmetic both engines evaluate identically (modular int
 math, md5, string concat) — no engine-specific hashing on the oracle path.
+The approximate operators (MinHash, SimHash, hyperplane LSH) are built on
+md5-derived 60-bit integer hashing and fixed-point vector quantization
+(functions/xhash.py), so even they have EXACT cross-engine oracles.
 """
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tiflow_spark.functions import dedup as dd
 from tiflow_spark.functions import similarity as sim
 from tiflow_spark.functions import text as tx
+from tiflow_spark.functions.xhash import P_MH, h60_sql, minhash_params, qvec_sql
 from tiflow_spark.operators.filters import EventFilterRule, apply_event_filter
 from tiflow_spark.operators.lww import (
     compact_net_op,
@@ -26,6 +33,10 @@ from tiflow_spark.operators.lww import (
 )
 from tiflow_spark.operators.frontier import partition_frontiers
 from tiflow_spark.operators.update_split import split_updates
+
+# Fixture metadata (TESTDATA.md): embeddings.parquet carries dim-64 vectors
+# at every scale factor — checked, not fetched with a driver-side action.
+EMBEDDING_DIM = 64
 
 # ---------------------------------------------------------------- helpers
 
@@ -77,6 +88,70 @@ CE_SQL = """
 
 OP_ORDER_SQL = "CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END"
 
+
+def change_events_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """change_events + deterministic JSON payload / pre_payload strings —
+    the raw-bytes RawKVEntry view the mounter decodes. Deletes carry no
+    post-image; only updates carry an old image (pre_payload), mirroring
+    /root/reference/cdc/model/kv.go:82-96 (Value / OldValue)."""
+    ce = change_events(spark, sf_dir)
+    tool_id = (F.col("commit_ts") % 5).cast("string")
+    payload = F.concat(
+        F.lit('{"role":"'), F.col("role"),
+        F.lit('","text":"'), F.col("text"),
+        F.lit('","tool":"T'), tool_id, F.lit('"}'),
+    )
+    pre_payload = F.concat(
+        F.lit('{"role":"'), F.col("role"),
+        F.lit('","text":"pre-'), F.col("text"), F.lit('"}'),
+    )
+    return ce.select(
+        "op", "commit_ts", "start_ts", "conv_id", "turn_idx",
+        "schema_version", "source_partition",
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .otherwise(payload)
+        .alias("payload"),
+        F.when(F.col("op") == "U", pre_payload)
+        .otherwise(F.lit(None).cast("string"))
+        .alias("pre_payload"),
+    )
+
+
+_PAYLOAD_SQL = (
+    "CASE WHEN op = 'D' THEN NULL ELSE "
+    "'{\"role\":\"' || role || '\",\"text\":\"' || text || "
+    "'\",\"tool\":\"T' || CAST(commit_ts % 5 AS VARCHAR) || '\"}' END"
+)
+_PRE_PAYLOAD_SQL = (
+    "CASE WHEN op = 'U' THEN "
+    "'{\"role\":\"' || role || '\",\"text\":\"pre-' || text || '\"}' "
+    "ELSE NULL END"
+)
+CE_PAYLOAD_SQL = (
+    f"SELECT *, {_PAYLOAD_SQL} AS payload, {_PRE_PAYLOAD_SQL} AS pre_payload "
+    f"FROM ({CE_SQL})"
+)
+
+# Registry for the payload-bearing queries: v2 (active from ts 500000, in
+# lockstep with schema_version above) adds `tool` — exercising the
+# mounter's NULL-backfill rule (reference mounter.go:338-388).
+PIPELINE_REGISTRY_SPECS = [
+    (1, 0, [("role", "string"), ("text", "string")]),
+    (2, 500_000, [("role", "string"), ("text", "string"), ("tool", "string")]),
+]
+
+
+def _pipeline_registry():
+    from tiflow_spark.sources.registry import SchemaVersion
+
+    return [
+        SchemaVersion(
+            v, ts, T.StructType([T.StructField(n, T.StringType()) for n, _ in fields])
+        )
+        for v, ts, fields in PIPELINE_REGISTRY_SPECS
+    ]
+
+
 # ---------------------------------------------------------------- CDC queries
 
 def q_cdc_lww_final_state(spark, sf_dir):
@@ -121,14 +196,13 @@ def q_cdc_net_op_algebra(spark, sf_dir):
 
 
 def q_cdc_txn_grouping(spark, sf_dir):
-    ce = change_events(spark, sf_dir).withColumn(
-        "txn_band", (F.col("commit_ts") / 1000).cast("long")
-    )
-    return ce.groupBy("txn_band").agg(
-        F.count(F.lit(1)).alias("n_events"),
+    """Txn grouping by the exact (start_ts, commit_ts) tuple — the
+    SingleTableTxn boundary (/root/reference/cdc/model/sink.go:1162-1177)."""
+    ce = change_events(spark, sf_dir)
+    return ce.groupBy("start_ts", "commit_ts").agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("conv_id").alias("n_convs"),
-        F.min("commit_ts").alias("min_ts"),
-        F.max("commit_ts").alias("max_ts"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
     )
 
 
@@ -146,6 +220,45 @@ def q_cdc_event_filter(spark, sf_dir):
     return apply_event_filter(ce, rule).select(
         "op", "conv_id", "turn_idx", "commit_ts", "val"
     )
+
+
+def q_cdc_preimage_filter(spark, sf_dir):
+    """Old-value decode + old-image expression filter: decode pre_payload
+    into pre_* columns (mounter PreColumns analog, reference
+    mounter.go:256-269) and drop updates whose OLD image matches the rule
+    (expr_filter.go update-old predicate)."""
+    from tiflow_spark.functions.decode import decode_payload, decode_pre_image
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    dec = decode_payload(ce, registry)
+    dec = decode_pre_image(dec, registry)
+    rule = EventFilterRule(ignore_update_old_expr="pre_text LIKE '%3'")
+    out = apply_event_filter(dec, rule)
+    return out.select(
+        "op", "conv_id", "turn_idx", "commit_ts",
+        F.col("text").alias("new_text"), "pre_text",
+    )
+
+
+def q_cdc_pipeline_snapshot(spark, sf_dir):
+    """The REAL engine path end-to-end: raw payload-bearing change events →
+    frontier observation → LWW reduce → versioned decode → CowTable.merge
+    (bucketed COW MERGE with fencing) → snapshot. This is the flagship
+    changefeed pipeline (SURVEY.md §3.3) under the driver's DuckDB oracle,
+    not just its DataFrame algebra."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    root = tempfile.mkdtemp(prefix="tiflow_pipeline_q_")
+    table = CowTable(
+        spark, root, n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    apply_epoch(table, registry, ce, batch_id=0)
+    return table.snapshot().select("conv_id", "turn_idx", "role", "text", "tool")
 
 
 def q_cdc_checksum_chunks(spark, sf_dir):
@@ -211,6 +324,19 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_jaccard(spark, sf_dir):
+    """The full MinHash→LSH-bands→verify near-dup pipeline: candidates come
+    ONLY from band collisions; exact Jaccard verification is driven by the
+    candidate pair list (never an all-pairs shingle self-join)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dd.shingles(d)
+    sigs = dd.minhash_signatures(sh, k=8)
+    cand = dd.lsh_candidate_pairs(sigs, k=8, bands=4)
+    return dd.jaccard_pairs(sh, candidates=cand, threshold=0.4).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash64(_t(spark, sf_dir, "documents"))
 
@@ -223,19 +349,17 @@ def q_ann_topk(spark, sf_dir):
 
 def q_ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
     queries = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    return sim.lsh_bucket_topk(e, queries, dim=dim, k=10, n_planes=4).select(
-        "query_id", "vec_id", "rank"
-    )
+    return sim.lsh_bucket_topk(
+        e, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
+    ).select("query_id", "vec_id", "rank")
 
 
 def q_embedding_near_dups(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    return sim.embedding_near_dups(e, dim=dim, threshold=0.99, n_planes=4).select(
-        "id_a", "id_b", F.round("sim", 6).alias("sim")
-    )
+    return sim.embedding_near_dups(
+        e, dim=EMBEDDING_DIM, threshold=0.4, n_planes=4
+    ).select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
 QUERIES = {
@@ -247,6 +371,8 @@ QUERIES = {
     "cdc_txn_grouping": q_cdc_txn_grouping,
     "cdc_update_split": q_cdc_update_split,
     "cdc_event_filter": q_cdc_event_filter,
+    "cdc_preimage_filter": q_cdc_preimage_filter,
+    "cdc_pipeline_snapshot": q_cdc_pipeline_snapshot,
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
     "text_stats": q_text_stats,
@@ -255,6 +381,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -297,9 +424,171 @@ _SHINGLES_SQL = """
   )
 """
 
+# 60-bit md5-derived shingle hash reduced mod P, then k universal hashes —
+# identical arithmetic to functions/dedup.minhash_signatures.
+_MH_BASE = f"({h60_sql('shingle')} % {P_MH})"
+
 
 def _minhash_cols(k: int) -> str:
-    return ", ".join(f"min(md5('{s}' || shingle)) AS h{s}" for s in range(k))
+    return ", ".join(
+        f"min(({a} * {_MH_BASE} + {b}) % {P_MH}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
+    )
+
+
+def _lsh_jaccard_sql(k: int = 8, bands: int = 4, threshold: float = 0.4) -> str:
+    rows = k // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT id, '{b}' || '|' || {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(h{b * rows + i} AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        _SHINGLES_SQL.format(where="")
+        + f""",
+      sigs AS (SELECT doc_id AS id, {_minhash_cols(k)} FROM sh GROUP BY doc_id),
+      bands AS ({band_selects}),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.id < b.id),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= {threshold}
+    """
+    )
+
+
+def _simhash_sql(n_bits: int = 60) -> str:
+    h = h60_sql("tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN ({h} >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS b{bit}"
+        for bit in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{bit} > 0 THEN (1::BIGINT << {bit}) ELSE 0 END)"
+        for bit in range(n_bits)
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id AS id, t.tok
+        FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+        WHERE length(t.tok) > 0),
+      votes AS (SELECT id, {votes} FROM toks GROUP BY id)
+      SELECT id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+# --- ANN oracles: fixed-point quantized vectors + md5-derived planes; all
+# arithmetic is exact in both engines (partial sums < 2^53), so cosine
+# values and ranks are bit-identical.
+
+_QEMB = qvec_sql("embedding")
+_QCOS = (
+    "list_dot_product({a}, {b})::DOUBLE / "
+    "(sqrt(list_dot_product({a}, {a})::DOUBLE) * "
+    "sqrt(list_dot_product({b}, {b})::DOUBLE))"
+)
+
+
+def _plane_list_sql(plane: list[int]) -> str:
+    return "LIST_VALUE(" + ",".join(str(c) for c in plane) + ")::BIGINT[]"
+
+
+def _bucket_sql(qcol: str, planes: list[list[int]]) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({qcol}, {_plane_list_sql(pl)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+
+
+def _ann_topk_sql(k: int = 10) -> str:
+    cos = _QCOS.format(a="q.qv", b="e.q")
+    return f"""
+      WITH e AS (SELECT vec_id, {_QEMB} AS q FROM embeddings),
+      q AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 5),
+      scored AS (SELECT query_id, e.vec_id, {cos} AS sim FROM e, q),
+      ranked AS (
+        SELECT query_id, vec_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ann_lsh_topk_sql(k: int = 10, n_planes: int = 4) -> str:
+    planes = sim.hyperplanes(EMBEDDING_DIM, n_planes)
+    cos = _QCOS.format(a="q.qv", b="e.q")
+    probe_list = ", ".join(
+        ["qb.qbucket"] + [f"xor(qb.qbucket, {1 << p})" for p in range(n_planes)]
+    )
+    return f"""
+      WITH e0 AS (SELECT vec_id, {_QEMB} AS q FROM embeddings),
+      e AS (SELECT vec_id, q, {_bucket_sql('q', planes)} AS bucket FROM e0),
+      qb AS (SELECT vec_id AS query_id, q AS qv, bucket AS qbucket
+             FROM e WHERE vec_id < 5),
+      probes AS (SELECT query_id, qv, unnest(LIST_VALUE({probe_list})) AS bucket
+                 FROM qb),
+      scored AS (
+        SELECT q.query_id, e.vec_id, {cos} AS sim
+        FROM e JOIN probes q ON e.bucket = q.bucket),
+      ranked AS (
+        SELECT query_id, vec_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _near_dups_sql(threshold: float = 0.4, n_planes: int = 4) -> str:
+    planes = sim.hyperplanes(EMBEDDING_DIM, n_planes)
+    cos = _QCOS.format(a="a.q", b="b.q")
+    return f"""
+      WITH e0 AS (SELECT vec_id, {_QEMB} AS q FROM embeddings),
+      e AS (SELECT vec_id, q, {_bucket_sql('q', planes)} AS bucket FROM e0)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS sim
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {cos} >= {threshold}
+    """
+
+
+_PIPELINE_SNAPSHOT_SQL = f"""
+  WITH ce AS ({CE_PAYLOAD_SQL}),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY commit_ts DESC, start_ts DESC, {OP_ORDER_SQL} DESC) AS rn
+    FROM ce)
+  SELECT conv_id, turn_idx,
+         json_extract_string(payload, '$.role') AS role,
+         json_extract_string(payload, '$.text') AS text,
+         CASE WHEN schema_version >= 2
+              THEN json_extract_string(payload, '$.tool') END AS tool
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+_PREIMAGE_FILTER_SQL = f"""
+  WITH ce AS ({CE_PAYLOAD_SQL})
+  SELECT op, conv_id, turn_idx, commit_ts,
+         json_extract_string(payload, '$.text') AS new_text,
+         json_extract_string(pre_payload, '$.text') AS pre_text
+  FROM ce
+  WHERE NOT (op = 'U' AND json_extract_string(pre_payload, '$.text') LIKE '%3')
+"""
 
 
 ORACLES = {
@@ -316,27 +605,36 @@ ORACLES = {
       fr AS (SELECT source_partition, max(commit_ts) AS m FROM ce GROUP BY 1)
       SELECT min(m) AS resolved_ts FROM fr
     """,
+    # ordered by the FULL (commit_ts, start_ts, op_order) composite — the
+    # engine's total order — so commit_ts ties cannot diverge.
     "cdc_net_op_algebra": f"""
       WITH ce AS ({CE_SQL}),
+      ranked AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_ts DESC, start_ts DESC, {OP_ORDER_SQL} DESC) AS rn_last,
+          row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_ts ASC, start_ts ASC, {OP_ORDER_SQL} ASC) AS rn_first
+        FROM ce),
       agg AS (
         SELECT conv_id, turn_idx,
-               arg_max(op, commit_ts) AS last_op,
-               arg_min(op, commit_ts) AS first_op,
-               max(CASE WHEN op = 'D' THEN commit_ts END) AS last_del
-        FROM ce GROUP BY conv_id, turn_idx)
+               max(CASE WHEN rn_last = 1 THEN op END) AS last_op,
+               max(CASE WHEN rn_first = 1 THEN op END) AS first_op,
+               max(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS had_del
+        FROM ranked GROUP BY conv_id, turn_idx)
       SELECT conv_id, turn_idx,
              CASE WHEN last_op = 'D' THEN 'D'
-                  WHEN last_del IS NOT NULL THEN 'R'
+                  WHEN had_del = 1 THEN 'R'
                   WHEN first_op = 'I' THEN 'I'
                   ELSE last_op END AS net_op
       FROM agg
     """,
     "cdc_txn_grouping": f"""
       WITH ce AS ({CE_SQL})
-      SELECT CAST(floor(commit_ts / 1000) AS BIGINT) AS txn_band,
-             count(*) AS n_events, count(DISTINCT conv_id) AS n_convs,
-             min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
-      FROM ce GROUP BY 1
+      SELECT start_ts, commit_ts, count(*) AS n_rows,
+             count(DISTINCT conv_id) AS n_convs,
+             sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+      FROM ce GROUP BY 1, 2
     """,
     "cdc_update_split": f"""
       WITH ce AS ({CE_SQL})
@@ -354,6 +652,8 @@ ORACLES = {
       SELECT op, conv_id, turn_idx, commit_ts, val FROM ce
       WHERE NOT (op = 'D') AND NOT (op = 'U' AND val < 100)
     """,
+    "cdc_preimage_filter": _PREIMAGE_FILTER_SQL,
+    "cdc_pipeline_snapshot": _PIPELINE_SNAPSHOT_SQL,
     "cdc_checksum_chunks": f"""
       WITH ce AS ({CE_SQL})
       SELECT CAST(commit_ts % 16 AS INT) AS chunk, count(*) AS cnt,
@@ -400,4 +700,9 @@ ORACLES = {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.4
     """,
+    "dedup_lsh_jaccard": _lsh_jaccard_sql(k=8, bands=4, threshold=0.4),
+    "dedup_simhash": _simhash_sql(60),
+    "ann_topk": _ann_topk_sql(k=10),
+    "ann_lsh_topk": _ann_lsh_topk_sql(k=10, n_planes=4),
+    "embedding_near_dups": _near_dups_sql(threshold=0.4, n_planes=4),
 }

@@ -51,6 +51,9 @@ def apply_epoch(
     caller (streaming runner) persists the batch so the scan is one read.
     The merge is told the batch is pre-reduced, so it skips its own LWW.
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     ev = with_op_order(batch)
 
     # frontier + lineage ride on the LWW job as observed metrics — the raw
@@ -61,22 +64,32 @@ def apply_epoch(
     # persist the reduced rows BEFORE decoding: projecting from_json onto
     # the aggregate output folds the decode into the aggregate's result
     # expressions (measured ~75x slower); the cache is a plan barrier and
-    # the net rows (one per live key) are the smallest point in the pipeline
-    net = lww_latest(ev).persist()
-    net.count()  # materialize → frontier metrics become available
+    # the net rows (one per live key) are the smallest point in the pipeline.
+    # The affected-bucket set rides the same materializing action as a
+    # second observation, so merge() skips its own discovery job.
+    bucket_obs = Observation("affected_buckets")
+    net = (
+        lww_latest(ev)
+        .withColumn("bucket", table._bucket_col())
+        .observe(bucket_obs, F.collect_set("bucket").alias("buckets"))
+        .persist()
+    )
+    net.count()  # materialize → frontier + bucket metrics become available
 
     lineage_rows = [
         (batch_id, part, rts, n)
         for part, rts, n in frontier_observation()
     ]
     resolved = min((r[2] for r in lineage_rows), default=None)
+    affected = [int(b) for b in bucket_obs.get["buckets"]]
 
     try:
         decode = decode_payload_pandas if decoder == "pandas" else decode_payload
         dec = decode(net, registry)
 
         stats = table.merge(
-            dec, batch_id, resolved_ts=resolved, lineage_rows=lineage_rows, pre_reduced=True
+            dec, batch_id, resolved_ts=resolved, lineage_rows=lineage_rows,
+            pre_reduced=True, affected_buckets=affected,
         )
     finally:
         net.unpersist()

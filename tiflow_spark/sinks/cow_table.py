@@ -12,9 +12,17 @@ Reference mapping:
 - Checkpoint/epoch fencing (/root/reference/cdc/owner/changefeed.go:295-313,
   progress_tracker.go:179-255): the manifest records the last committed
   batch_id; a re-delivered batch_id <= committed is skipped.
+- Frontier (/root/reference/cdc/puller/frontier/frontier.go:75-91): the
+  manifest persists per-source-partition frontiers, carried forward across
+  batches; the table's resolved_ts is the min over ALL partitions ever
+  seen — a partition absent from a batch keeps its last frontier instead of
+  being silently treated as caught up (that would let gc_tombstones drop a
+  tombstone a straggler's older insert could still out-race).
 - Syncpoint / lineage (/root/reference/cdc/syncpointstore/
-  mysql_syncpoint_store.go:155-227): per-epoch, per-source-partition applied
-  counts + resolved_ts appended to a lineage table.
+  mysql_syncpoint_store.go:155-227): per-epoch per-source-partition applied
+  counts are embedded IN the manifest commit — atomic with the merge, no
+  separate write that a crash could decouple (and no extra 1-task Spark job
+  per epoch, which round-1 benchmarks showed hurting N→4N scaling).
 
 Why not Iceberg MERGE INTO: this sandbox has no Iceberg runtime jar. The
 design is the same copy-on-write MERGE an Iceberg/Delta COW table performs —
@@ -33,6 +41,9 @@ Scale notes (100 TB / 1000 executors):
   ANY batch order; deletes persist as tombstones until `gc_tombstones`
   drops those older than the global resolved-ts (below which the source
   contract promises no more events — /root/reference/cdc/model/kv.go:58-66).
+- superseded bucket files are reclaimed by ``vacuum`` (Iceberg
+  expire_snapshots analog) — without it the data dir grows without bound at
+  streaming cadence.
 
 Single-writer assumption (same as one changefeed owner in the reference):
 one streaming query commits at a time.
@@ -42,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 from typing import Any
@@ -54,6 +66,10 @@ from tiflow_spark.operators.frontier import partition_frontiers
 
 KEY_COLS = ("conv_id", "turn_idx")
 VERSION_COLS = ("__commit_ts", "__start_ts", "__op_order")
+
+# Default table shape: conversation transcripts (BASELINE.json input_hint).
+DEFAULT_KEY_SCHEMA = {"conv_id": "string", "turn_idx": "int"}
+DEFAULT_DATA_SCHEMA = {"role": "string", "text": "string", "tool": "string", "ts": "timestamp"}
 
 LINEAGE_SCHEMA = (
     "batch_id LONG, source_partition INT, resolved_ts LONG, applied_events LONG"
@@ -69,6 +85,14 @@ class MergeStats:
     resolved_ts: int | None = None
 
 
+def data_schema_from_registry(registry) -> dict[str, str]:
+    """Derive the sink column schema from the latest registry version — a
+    second table shape is config, not code (round-1 gap: hardcoded cols)."""
+    from tiflow_spark.sources.registry import latest_schema
+
+    return {f.name: f.dataType.simpleString() for f in latest_schema(registry).fields}
+
+
 class CowTable:
     """A hash-bucketed copy-on-write parquet table supporting idempotent,
     fenced, LWW-conditional MERGE of change batches."""
@@ -79,24 +103,33 @@ class CowTable:
         root: str,
         n_buckets: int = 32,
         key_cols: tuple[str, ...] = KEY_COLS,
-        data_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
+        data_schema: dict[str, str] | None = None,
+        key_schema: dict[str, str] | None = None,
+        auto_vacuum_keep: int | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.key_cols = key_cols
-        self.data_cols = data_cols
-        # column types, for NULL backfill when a column is absent (schema
-        # evolution: a pre-DDL batch/file lacks columns added later —
-        # Iceberg add-column semantics, NULL for old data)
-        self.data_types = {"role": "string", "text": "string", "tool": "string", "ts": "timestamp"}
+        # column name -> Spark DDL type; types drive NULL backfill when a
+        # column is absent (schema evolution: a pre-DDL batch/file lacks
+        # columns added later — Iceberg add-column semantics, NULL for old
+        # data). Derivable from a registry via data_schema_from_registry.
+        self.data_schema = dict(data_schema) if data_schema is not None else dict(DEFAULT_DATA_SCHEMA)
+        self.key_schema = dict(key_schema) if key_schema is not None else dict(DEFAULT_KEY_SCHEMA)
+        # retain this many manifests' data files after each merge (None =
+        # never auto-vacuum; call vacuum() manually)
+        self.auto_vacuum_keep = auto_vacuum_keep
         os.makedirs(f"{root}/_manifest", exist_ok=True)
-        os.makedirs(f"{root}/_lineage", exist_ok=True)
+
+    @property
+    def data_cols(self) -> tuple[str, ...]:
+        return tuple(self.data_schema)
 
     def _with_all_data_cols(self, df: DataFrame) -> DataFrame:
         missing = [c for c in self.data_cols if c not in df.columns]
         for c in missing:
-            df = df.withColumn(c, F.lit(None).cast(self.data_types.get(c, "string")))
+            df = df.withColumn(c, F.lit(None).cast(self.data_schema.get(c, "string")))
         return df
 
     # ---------------- manifest (atomic metadata) ----------------
@@ -108,12 +141,18 @@ class CowTable:
             if f.endswith(".json") and not f.startswith("_")
         )
 
+    def _read_manifest(self, seq: int) -> dict[str, Any]:
+        with open(f"{self.root}/_manifest/{seq}.json") as f:
+            return json.load(f)
+
     def current_manifest(self) -> dict[str, Any]:
         seqs = self._manifest_seqs()
         if not seqs:
-            return {"seq": -1, "batch_id": -1, "resolved_ts": None, "buckets": {}}
-        with open(f"{self.root}/_manifest/{seqs[-1]}.json") as f:
-            return json.load(f)
+            return {
+                "seq": -1, "batch_id": -1, "resolved_ts": None,
+                "buckets": {}, "frontiers": {}, "lineage": [],
+            }
+        return self._read_manifest(seqs[-1])
 
     def _commit_manifest(self, manifest: dict[str, Any]) -> None:
         seq = manifest["seq"]
@@ -125,6 +164,22 @@ class CowTable:
 
     def last_committed_batch(self) -> int:
         return int(self.current_manifest()["batch_id"])
+
+    @staticmethod
+    def _advance_frontiers(
+        manifest: dict[str, Any], lineage_rows: list[tuple[int, int, int, int]]
+    ) -> tuple[dict[str, int], int | None]:
+        """Carry per-source-partition frontiers forward and return the new
+        global resolved_ts = min over ALL partitions ever seen (reference
+        frontier.go:75-91 keeps per-span minima persistently). Discovering a
+        new straggler partition may legitimately LOWER the global value —
+        the earlier one was computed without knowledge of that partition."""
+        frontiers = {str(k): int(v) for k, v in manifest.get("frontiers", {}).items()}
+        for _, part, rts, _ in lineage_rows:
+            key = str(int(part))
+            frontiers[key] = max(frontiers.get(key, rts), rts)
+        resolved = min(frontiers.values()) if frontiers else None
+        return frontiers, resolved
 
     # ---------------- read paths ----------------
 
@@ -143,22 +198,19 @@ class CowTable:
         # mergeSchema: bucket files written before a DDL lack later columns
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def _empty_schema(self) -> str:
+        fields = [f"{c} {t}" for c, t in self.key_schema.items()]
+        fields += [f"{c} {t}" for c, t in self.data_schema.items()]
+        fields += ["__commit_ts LONG", "__start_ts LONG", "__op_order INT", "__deleted BOOLEAN"]
+        return ", ".join(fields)
+
     def snapshot(self, include_tombstones: bool = False) -> DataFrame:
         """Current table state. Public view: tombstones filtered, internal
         columns dropped."""
         manifest = self.current_manifest()
         df = self._read_buckets(manifest, [int(b) for b in manifest["buckets"]])
         if df is None:
-            from pyspark.sql import types as T  # empty table
-
-            fields = ", ".join(
-                [f"{c} STRING" if c == "conv_id" else f"{c} INT" for c in self.key_cols]
-            )
-            schema = (
-                f"{fields}, role STRING, text STRING, tool STRING, ts TIMESTAMP, "
-                "__commit_ts LONG, __start_ts LONG, __op_order INT, __deleted BOOLEAN"
-            )
-            df = self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], self._empty_schema())
         df = self._with_all_data_cols(df)
         if include_tombstones:
             return df
@@ -173,6 +225,7 @@ class CowTable:
         resolved_ts: int | None = None,
         lineage_rows: list[tuple[int, int, int, int]] | None = None,
         pre_reduced: bool = False,
+        affected_buckets: list[int] | None = None,
     ) -> MergeStats:
         """Apply one change batch exactly-once-in-effect.
 
@@ -180,7 +233,9 @@ class CowTable:
         start_ts, source_partition. It may be pre-reduced (one row per key);
         pass ``lineage_rows`` [(batch_id, source_partition, resolved_ts,
         n_raw_events)] computed on the raw stream in that case, else lineage
-        is derived from ``batch`` itself. Equivalent Iceberg statement::
+        is derived from ``batch`` itself. ``affected_buckets``, when the
+        caller already observed them on an earlier pass, skips the
+        discovery job. Equivalent Iceberg statement::
 
             MERGE INTO t USING net s
               ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
@@ -200,15 +255,38 @@ class CowTable:
                 (batch_id, int(r["source_partition"]), int(r["resolved_ts"]), int(r["n_events"]))
                 for r in frontiers
             ]
-        if not lineage_rows:
-            self._commit_manifest({**manifest, "seq": manifest["seq"] + 1,
-                                   "batch_id": batch_id, "committed_at": time.time()})
-            return MergeStats(batch_id=batch_id, skipped=False, applied_events=0)
+        new_frontiers, frontier_resolved = self._advance_frontiers(manifest, lineage_rows)
+        batch_resolved = resolved_ts if resolved_ts is not None else frontier_resolved
         n_events = int(sum(r[3] for r in lineage_rows))
-        batch_resolved = (
-            resolved_ts if resolved_ts is not None
-            else int(min(r[2] for r in lineage_rows))
-        )
+
+        def commit(buckets: dict[str, str], applied: int, n_affected: int) -> MergeStats:
+            self._commit_manifest(
+                {
+                    "seq": manifest["seq"] + 1,
+                    "batch_id": batch_id,
+                    # table watermark: min over carried-forward partition
+                    # frontiers (see _advance_frontiers)
+                    "resolved_ts": frontier_resolved,
+                    "frontiers": new_frontiers,
+                    "buckets": buckets,
+                    "committed_at": time.time(),
+                    "applied_events": applied,
+                    # lineage rides the SAME atomic rename as the merge
+                    "lineage": [list(r) for r in lineage_rows],
+                }
+            )
+            if self.auto_vacuum_keep is not None:
+                self.vacuum(keep_manifests=self.auto_vacuum_keep)
+            return MergeStats(
+                batch_id=batch_id,
+                skipped=False,
+                applied_events=applied,
+                affected_buckets=n_affected,
+                resolved_ts=batch_resolved,
+            )
+
+        if not lineage_rows:
+            return commit(dict(manifest["buckets"]), 0, 0)
 
         # net effect per key within the batch (sorter + compactor);
         # skipped when the pipeline already reduced to one row per key
@@ -224,12 +302,24 @@ class CowTable:
             (F.col("op") == "D").alias("__deleted"),
         ).withColumn("bucket", self._bucket_col())
 
-        # the reduced batch is touched by three actions (bucket pruning,
-        # write, and upstream decode) — cache it, it is one row per key
-        net = net.persist()
+        if affected_buckets is None:
+            # the reduced batch is touched by two actions (bucket discovery
+            # + write) — cache it, it is one row per key
+            net = net.persist()
+            affected = sorted(
+                int(r["bucket"]) for r in net.select("bucket").distinct().collect()
+            )
+        else:
+            affected = sorted(set(int(b) for b in affected_buckets))
 
-        # prune: only buckets the batch touches are read & rewritten
-        affected = [int(r["bucket"]) for r in net.select("bucket").distinct().collect()]
+        if not affected:
+            # empty net batch (e.g. everything filtered upstream while
+            # lineage was computed on the raw stream): frontier/lineage
+            # still advance, no data write
+            if affected_buckets is None:
+                net.unpersist()
+            return commit(dict(manifest["buckets"]), n_events, 0)
+
         existing = self._read_buckets(manifest, affected)
         if existing is not None:
             existing = self._with_all_data_cols(existing).withColumn(
@@ -259,55 +349,33 @@ class CowTable:
             .partitionBy("bucket")
             .parquet(out)
         )
-        net.unpersist()
+        if affected_buckets is None:
+            net.unpersist()
 
         new_buckets = dict(manifest["buckets"])
         for b in affected:
             bucket_dir = f"{data_rel}/bucket={b}"
             if os.path.exists(f"{self.root}/{bucket_dir}"):
                 new_buckets[str(b)] = bucket_dir
-        prev_resolved = manifest.get("resolved_ts")
-        self._commit_manifest(
-            {
-                "seq": manifest["seq"] + 1,
-                "batch_id": batch_id,
-                # checkpoint-ts monotonicity (changefeed.go:295-313): a late
-                # or replayed batch never regresses the table's watermark
-                "resolved_ts": max(batch_resolved, prev_resolved)
-                if prev_resolved is not None
-                else batch_resolved,
-                "buckets": new_buckets,
-                "committed_at": time.time(),
-                "applied_events": n_events,
-            }
-        )
-
-        self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{self.root}/_lineage")
-
-        return MergeStats(
-            batch_id=batch_id,
-            skipped=False,
-            applied_events=n_events,
-            affected_buckets=len(affected),
-            resolved_ts=batch_resolved,
-        )
+        return commit(new_buckets, n_events, len(affected))
 
     # ---------------- maintenance ----------------
 
     def lineage(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(f"{self.root}/_lineage")
-        except Exception:
-            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        """Per-epoch per-source-partition applied counts + frontiers — read
+        straight from the manifest history (committed atomically with each
+        merge)."""
+        rows = []
+        for seq in self._manifest_seqs():
+            for r in self._read_manifest(seq).get("lineage", []):
+                rows.append(tuple(r))
+        return self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
 
     def epochs(self) -> DataFrame:
         """The fencing/epochs table (FIXTURES.md §4) — manifest history."""
         rows = []
         for seq in self._manifest_seqs():
-            with open(f"{self.root}/_manifest/{seq}.json") as f:
-                m = json.load(f)
+            m = self._read_manifest(seq)
             rows.append((int(m["batch_id"]), m.get("resolved_ts"), m.get("committed_at")))
         return self.spark.createDataFrame(
             rows, "batch_id LONG, resolved_ts LONG, committed_at DOUBLE"
@@ -317,23 +385,31 @@ class CowTable:
         """Drop tombstones with commit_ts < the global resolved-ts — the
         source contract (kv.go:58-66) promises no further events below it,
         so a delete there can never be out-raced. Rewrites every bucket
-        (run rarely, like Iceberg's rewrite_data_files)."""
+        (run rarely, like Iceberg's rewrite_data_files). Returns the number
+        of tombstones actually dropped."""
         manifest = self.current_manifest()
         all_buckets = [int(b) for b in manifest["buckets"]]
         df = self._read_buckets(manifest, all_buckets)
         if df is None:
             return 0
-        keep = df.filter(
-            ~(F.col("__deleted") & (F.col("__commit_ts") < below_resolved_ts))
-        ).withColumn("bucket", self._bucket_col())
-        data_rel = f"data/gc{manifest['seq'] + 1}"
-        keep.write.mode("overwrite").partitionBy("bucket").parquet(f"{self.root}/{data_rel}")
+        dead = F.col("__deleted") & (F.col("__commit_ts") < below_resolved_ts)
+        df = df.persist()
+        try:
+            removed = df.filter(dead).count()
+            if removed == 0:
+                return 0
+            keep = df.filter(~dead).withColumn("bucket", self._bucket_col())
+            data_rel = f"data/gc{manifest['seq'] + 1}"
+            keep.write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{self.root}/{data_rel}"
+            )
+        finally:
+            df.unpersist()
         new_buckets = {}
         for b in all_buckets:
             bucket_dir = f"{data_rel}/bucket={b}"
             if os.path.exists(f"{self.root}/{bucket_dir}"):
                 new_buckets[str(b)] = bucket_dir
-        removed = manifest.get("applied_events", 0)
         self._commit_manifest(
             {
                 **manifest,
@@ -341,6 +417,33 @@ class CowTable:
                 "buckets": new_buckets,
                 "committed_at": time.time(),
                 "gc_below": below_resolved_ts,
+                "lineage": [],
             }
         )
+        return removed
+
+    def vacuum(self, keep_manifests: int = 2) -> int:
+        """Delete data files no longer referenced by the newest
+        ``keep_manifests`` manifests (Iceberg expire_snapshots analog) —
+        bounds the data directory across streaming epochs. Older manifests
+        stay readable as metadata (they are tiny JSON), but time travel to
+        them is no longer possible. Returns the number of bucket directories
+        removed."""
+        seqs = self._manifest_seqs()
+        live = seqs[-keep_manifests:] if keep_manifests > 0 else seqs[-1:]
+        referenced: set[str] = set()
+        for seq in live:
+            referenced.update(self._read_manifest(seq).get("buckets", {}).values())
+        data_root = f"{self.root}/data"
+        if not os.path.isdir(data_root):
+            return 0
+        removed = 0
+        for batch_dir in os.listdir(data_root):
+            for bucket_dir in os.listdir(f"{data_root}/{batch_dir}"):
+                rel = f"data/{batch_dir}/{bucket_dir}"
+                if bucket_dir.startswith("bucket=") and rel not in referenced:
+                    shutil.rmtree(f"{self.root}/{rel}", ignore_errors=True)
+                    removed += 1
+            if not os.listdir(f"{data_root}/{batch_dir}"):
+                os.rmdir(f"{data_root}/{batch_dir}")
         return removed

@@ -46,6 +46,11 @@ class GenSpec:
     twin_fraction: float = 0.05  # same-(key,commit_ts,start_ts) op-tie twins
     duplicate_fraction: float = 0.05  # exact redelivered rows
     max_extra_updates: int = 3   # lifecycle length jitter
+    # emit the v2 DDL as an op='DDL' row IN the log (payload = schema JSON),
+    # at commit_ts = ddl_ts - 1 so it lands in the band BEFORE the first v2
+    # DML (the schema-resolved-ts contract: a version is registered no later
+    # than its first row). Consumers must run with ddl_in_stream=True.
+    emit_ddl: bool = False
 
     @property
     def ddl_ts(self) -> int:
@@ -205,6 +210,23 @@ def generate_change_events(spark: SparkSession, spec: GenSpec = GenSpec()) -> Da
             < int(spec.duplicate_fraction * 10_000)
         )
         ev = ev.unionAll(dup)
+
+    if spec.emit_ddl:
+        from tiflow_spark.sources.registry import PAYLOAD_V2
+
+        ddl_row = [
+            (
+                "DDL", spec.ddl_ts - 1, spec.ddl_ts - 2, None, None,
+                2, PAYLOAD_V2.json(), None, 0,
+            )
+        ]
+        ddl_df = spark.createDataFrame(
+            ddl_row,
+            "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, "
+            "turn_idx INT, schema_version LONG, payload STRING, "
+            "pre_payload STRING, source_partition INT",
+        )
+        ev = ev.unionByName(ddl_df)
 
     return ev
 

@@ -17,13 +17,26 @@ batch_id, batches replayed with the SAME id after crash) + CowTable's
 batch_id fence + version-conditional MERGE idempotence. Restart-from-
 checkpoint therefore re-delivers the in-flight epoch and the fence/merge
 absorbs it — the redo-log-free recovery argued in SURVEY.md §2.6.
+
+DDL events travel IN the change stream (op='DDL', payload = the new schema's
+JSON) — the DDL puller decodes DDL jobs from the same log
+(/root/reference/cdc/puller/ddl_puller.go:190-302) and the barrier holds the
+checkpoint until the DDL is applied (/root/reference/cdc/owner/
+barrier.go:22-47). Here the barrier is the epoch itself: each microbatch
+first registers its DDLs (registry append), then decodes/merges its DMLs —
+post-DDL rows in the same or later epochs decode with the new version. A
+DML whose schema_version is not yet registered fails loudly (the reference
+equivalently blocks until schema resolved-ts catches up,
+schema_storage.go:152-178) rather than silently NULLing its payload.
 """
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tiflow_spark.plans.pipeline import apply_epoch
@@ -44,28 +57,42 @@ CHANGE_EVENT_SCHEMA = T.StructType(
     ]
 )
 
+# Multi-table feeds carry a routing column (event_router.go:91-132 analog).
+CHANGE_EVENT_SCHEMA_MULTI = T.StructType(
+    CHANGE_EVENT_SCHEMA.fields + [T.StructField("table_name", T.StringType())]
+)
+
 
 @dataclass
 class Changefeed:
-    """One replication job: change-event log dir → CowTable.
+    """One replication job: change-event log dir → CowTable(s).
 
-    Schema evolution: pass ``registry_path`` instead of a static ``registry``
-    and the feed reloads the registry at every epoch boundary — the DDL
-    puller/barrier analog (/root/reference/cdc/puller/ddl_puller.go:60-302,
-    /root/reference/cdc/owner/barrier.go:22-47): a DDL lands as a registry
-    append (sources/registry.py add_version) between epochs; the next epoch
-    decodes with the new version.
+    Schema evolution, three mechanisms (all barrier-at-epoch-boundary):
+    - static ``registry``;
+    - ``registry_path``: reload the persisted registry every epoch — an
+      out-of-band DDL lands as a registry append between epochs;
+    - ``ddl_in_stream=True``: op='DDL' rows in the log itself carry the new
+      schema JSON; each epoch registers them before decoding its DMLs (the
+      in-band DDL puller + barrier analog — the normal CDC case).
+
+    Multi-table: pass ``tables={name: (CowTable, registry)}`` and events
+    carrying a ``table_name`` column; rows route to their table's pipeline
+    (per-table sinks/progress, reference event_router.go:91-132).
     """
 
     spark: SparkSession
     events_dir: str
-    table: CowTable
-    registry: list[SchemaVersion] | None
     checkpoint_dir: str
+    table: CowTable | None = None
+    registry: list[SchemaVersion] | None = None
     max_files_per_trigger: int = 4
     decoder: str = "jvm"
     registry_path: str | None = None
-    batch_log: list = field(default_factory=list)  # (batch_id, MergeStats)
+    ddl_in_stream: bool = False
+    tables: dict[str, tuple[CowTable, list[SchemaVersion]]] | None = None
+    table_col: str = "table_name"
+    event_schema: T.StructType | None = None
+    batch_log: list = field(default_factory=list)  # (batch_id, [name,] MergeStats)
 
     def _current_registry(self) -> list[SchemaVersion]:
         if self.registry_path is not None:
@@ -75,17 +102,66 @@ class Changefeed:
         assert self.registry is not None
         return self.registry
 
+    def _apply_ddls(
+        self, batch: DataFrame, registry: list[SchemaVersion]
+    ) -> tuple[list[SchemaVersion], DataFrame]:
+        """Register in-stream DDLs (ts order, redelivery-safe), verify every
+        DML schema_version is decodable, return (registry, DML-only batch).
+        One aggregate job over the (persisted) batch collects both."""
+        meta = batch.agg(
+            F.collect_set(
+                F.when(
+                    F.col("op") == "DDL",
+                    F.struct("commit_ts", "schema_version", "payload"),
+                )
+            ).alias("ddls"),
+            F.collect_set("schema_version").alias("versions"),
+        ).first()
+        known = {v.schema_version for v in registry}
+        for r in sorted(meta["ddls"], key=lambda r: (r["commit_ts"], r["schema_version"])):
+            ver = int(r["schema_version"])
+            if ver in known:
+                continue  # at-least-once redelivery of the DDL event
+            new = SchemaVersion(
+                ver, int(r["commit_ts"]) + 1, T.StructType.fromJson(json.loads(r["payload"]))
+            )
+            if self.registry_path is not None:
+                from tiflow_spark.sources.registry import add_version
+
+                registry = add_version(self.spark, self.registry_path, new)
+            else:
+                registry = sorted(registry + [new], key=lambda v: v.schema_version)
+                self.registry = registry
+            known.add(ver)
+        missing = {int(v) for v in meta["versions"] if v is not None} - known
+        if missing:
+            raise ValueError(
+                f"batch carries schema_version(s) {sorted(missing)} with no "
+                "registered schema and no in-batch DDL — the DDL event must "
+                "arrive in the log no later than the first row of its version "
+                "(reference blocks on schema resolved-ts, schema_storage.go:152)"
+            )
+        return registry, batch.filter(F.col("op") != "DDL")
+
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
-            res = apply_epoch(
-                self.table,
-                self._current_registry(),
-                batch,
-                int(batch_id),
-                decoder=self.decoder,
-            )
-            self.batch_log.append((int(batch_id), res.stats))
+            if self.tables is None:
+                registry = self._current_registry()
+                if self.ddl_in_stream:
+                    registry, batch_dml = self._apply_ddls(batch, registry)
+                else:
+                    batch_dml = batch
+                res = apply_epoch(
+                    self.table, registry, batch_dml, int(batch_id), decoder=self.decoder
+                )
+                self.batch_log.append((int(batch_id), res.stats))
+            else:
+                for name in sorted(self.tables):
+                    tbl, reg = self.tables[name]
+                    sub = batch.filter(F.col(self.table_col) == name)
+                    res = apply_epoch(tbl, reg, sub, int(batch_id), decoder=self.decoder)
+                    self.batch_log.append((int(batch_id), name, res.stats))
         finally:
             batch.unpersist()
 
@@ -96,12 +172,13 @@ class Changefeed:
         source log (puller resolved-ts vs checkpoint-ts lag)."""
         import glob as _glob
 
+        assert self.table is not None, "synced() is per-table; use tables[name]"
         applied = self.table.current_manifest().get("resolved_ts")
         if applied is None:
             return False
         paths = _glob.glob(self.events_dir) or [self.events_dir]
         source_max = (
-            self.spark.read.schema(CHANGE_EVENT_SCHEMA)
+            self.spark.read.schema(self._schema())
             .parquet(*paths)
             .agg({"commit_ts": "max"})
             .first()[0]
@@ -110,17 +187,25 @@ class Changefeed:
             return True
         return applied >= source_max - lag_threshold
 
+    def _schema(self) -> T.StructType:
+        if self.event_schema is not None:
+            return self.event_schema
+        return CHANGE_EVENT_SCHEMA_MULTI if self.tables is not None else CHANGE_EVENT_SCHEMA
+
+    def _stream(self):
+        return (
+            self.spark.readStream.schema(self._schema())
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.events_dir)
+        )
+
     def run_available_now(self, timeout_sec: int = 600) -> None:
         """Drain everything currently in the log, then stop (the batch-replay
         mode; Trigger.AvailableNow still honors maxFilesPerTrigger per
         microbatch, so epochs stay bounded)."""
-        stream = (
-            self.spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.events_dir)
-        )
         q = (
-            stream.writeStream.foreachBatch(self._process_batch)
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()
@@ -131,3 +216,16 @@ class Changefeed:
             raise TimeoutError("changefeed did not drain within timeout")
         if q.exception() is not None:
             raise q.exception()
+
+    def run_continuous(self, processing_time: str = "1 second"):
+        """Long-lived changefeed — the reference's only mode: keep tailing
+        the log at a microbatch cadence. Returns the StreamingQuery handle;
+        the caller owns its lifetime (q.stop() = changefeed pause; restarting
+        with the same checkpoint_dir = resume)."""
+        return (
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
