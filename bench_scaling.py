@@ -54,12 +54,14 @@ def one_run(tag):
         shutil.rmtree(table_dir + tag, ignore_errors=True)
         table = CowTable(spark, table_dir + tag, n_buckets=32)
         apply_epoch(table, registry, events, batch_id=0)
-    else:  # blackhole: LWW + decode only, same persist barrier as the pipeline
+    elif mode == "blackhole":  # LWW + decode, same persist barrier as the pipeline
         from tiflow_spark.operators.lww import lww_latest, with_op_order
         from tiflow_spark.functions.decode import decode_payload
         net = lww_latest(with_op_order(events)).persist()
         decode_payload(net, registry).write.format("noop").mode("overwrite").save()
         net.unpersist()
+    else:  # scan: read+deserialize only — the input-bound scaling ceiling
+        events.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 # warm up until the JVM reaches steady state (codegen + C2 JIT take 2-3
@@ -80,8 +82,10 @@ print(json.dumps({"cores": cores, "mode": mode, "events": n,
 
 
 def run_level(cores: int, events_path: str, mode: str) -> dict:
+    # table data on tmpfs for the same reason as the input: on a real
+    # cluster sink I/O bandwidth scales with nodes; one box's disk does not
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), events_path, mode, f"/tmp/tiflow_scaling_tables/table_{cores}_{mode}"],
+        [sys.executable, "-c", CHILD, str(cores), events_path, mode, f"{WORKDIR}/table_{cores}_{mode}"],
         capture_output=True, text=True, timeout=3600,
         # spill stays on /tmp (disk): tmpfs spill measured SLOWER (page
         # allocation churn competes with the heap); input stays on tmpfs
@@ -112,7 +116,7 @@ def main() -> None:
     assert gen.returncode == 0, gen.stderr[-2000:]
 
     results = {}
-    for mode in ("merge", "blackhole"):
+    for mode in ("merge", "blackhole", "scan"):
         lo = run_level(8, f"{WORKDIR}/events", mode)
         hi = run_level(32, f"{WORKDIR}/events", mode)
         eff = round((hi["events_per_sec"] / lo["events_per_sec"]) / 4, 3)

@@ -316,3 +316,34 @@ def test_ann_high_dim_recall(spark):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"recall {recall}"
+
+
+# ---------------------------------------------------------------- bootstrap
+
+def test_bootstrap_then_incremental(spark, tmp_path):
+    """DM full-load switchover: seed from a snapshot at ts T, then replay
+    change events around T — events after T win, redelivered events at/below
+    T lose to the snapshot (version-conditional merge does the fencing)."""
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    snap = spark.createDataFrame(
+        [("c1", 0, "user", "snap1", None, None), ("c2", 0, "user", "snap2", None, None)],
+        "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP",
+    )
+    table.bootstrap(snap, as_of_ts=1000, batch_id=0)
+
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "role STRING, text STRING, tool STRING, ts TIMESTAMP, source_partition INT"
+    )
+    changes = [
+        # stale redelivery from before the snapshot: must lose
+        ("U", 900, 899, "c1", 0, "user", "stale", None, None, 0),
+        # post-snapshot update: must win
+        ("U", 1500, 1499, "c2", 0, "user", "fresh", None, None, 0),
+        # post-snapshot new key
+        ("I", 1600, 1599, "c3", 0, "user", "new", None, None, 0),
+    ]
+    table.merge(spark.createDataFrame(changes, schema), batch_id=1)
+    got = {r["conv_id"]: r["text"] for r in table.snapshot().collect()}
+    assert got == {"c1": "snap1", "c2": "fresh", "c3": "new"}
+    assert table.lag() is not None and table.lag() >= 0

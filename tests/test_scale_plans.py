@@ -1,0 +1,101 @@
+"""Physical-plan assertions — the 100 TB hygiene checks.
+
+Correctness tests prove the answers; these prove the PLANS: filters and
+projections reach the parquet scan, small sides broadcast, the LWW reduce
+partial-aggregates (map-side combine), and no query degenerates into a
+cartesian product. Each assertion is something that, if regressed, only
+shows up at scale — so it is pinned here at test size."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflow_spark.functions import dedup as dd
+from tiflow_spark.functions import similarity as sim
+from tiflow_spark.operators.lww import lww_latest
+from tiflow_spark.plans.bench_queries import change_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_pushdown(spark):
+    """A filtered 2-column projection must push both the predicate and the
+    column pruning into the parquet scan."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    q = e.filter(F.col("event_id") > 100).select("event_id", "user_id")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)]" in plan
+    scan_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "event_id" in scan_schema and "user_id" in scan_schema
+    assert "event_type" not in scan_schema, "unprojected column read from scan"
+
+
+def test_lww_uses_partial_aggregation(spark):
+    """The LWW reduce must be a two-phase hash aggregate (map-side combine)
+    — the built-in salted hot-key split. A plan with only a final aggregate
+    (or a window sort) would ship every hot-key event across the shuffle."""
+    plan = plan_of(lww_latest(change_events(spark, SF)))
+    # max_by(struct, struct) plans as SortAggregate (struct agg buffers are
+    # not hash-aggregable in Spark 4.1, see BENCH.md) — the property that
+    # matters is the PARTIAL phase below the exchange
+    assert "partial_max_by" in plan, plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = plan_of(sim.topk_cosine(e, q, k=5))
+    assert "Broadcast" in plan, "query side must broadcast, not shuffle the corpus"
+
+
+def test_lsh_join_is_hash_join_on_bucket(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = plan_of(sim.lsh_bucket_topk(e, q, dim=64, k=5, n_planes=4))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_verify_has_no_shingle_self_join(spark):
+    """The candidate-driven Jaccard verify must NOT contain the all-pairs
+    shingle self-join (round-1 defect: LSH candidates pruned nothing)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    sh = dd.shingles(d)
+    sigs = dd.minhash_signatures(dd.shingles(d, distinct=False), k=8)
+    cand = dd.lsh_candidate_pairs(sigs, k=8, bands=4)
+    plan = plan_of(dd.jaccard_pairs(sh, candidates=cand))
+    # the verify side joins candidates->shingles twice (hash joins), never
+    # shingle-to-shingle directly: no join condition on two shingle columns
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_plane_matrix_is_single_literal(spark):
+    """dim=512 hyperplane bucketing must not inflate the plan with per-dim
+    literals (round-1 defect: ~6k scalar literals -> codegen blowup)."""
+    import time
+
+    dim = 512
+    base = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.xxhash64(F.col("id"), d) % 100).cast("double") / 50.0,
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    from tiflow_spark.functions.xhash import qvec
+
+    planes = sim.hyperplanes(dim, 8)
+    df = base.select("vec_id", sim.bucket_of(qvec(F.col("embedding")), planes).alias("b"))
+    df.collect()
+    elapsed = time.time() - t0
+    assert elapsed < 30, f"dim-512 bucket plan took {elapsed}s — codegen blowup?"
+    plan = plan_of(df)
+    assert len(plan) < 100_000, f"plan string {len(plan)} chars — per-dim literal blowup"

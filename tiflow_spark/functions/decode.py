@@ -105,6 +105,19 @@ def decode_payload(
     return events.select("*", *cols)
 
 
+def with_generated_columns(df: DataFrame, exprs: dict[str, str]) -> DataFrame:
+    """Virtual/generated column fill — the mounter's
+    mergeDatumWithVirtualCols (/root/reference/cdc/model/mounter.go:33-66):
+    generated columns are computed at read time from the decoded row, never
+    carried in the encoded payload, and excluded from the MERGE payload
+    (sink.go:809 builds TableInfo without virtual columns — here, simply
+    keep them out of CowTable.data_schema). Catalyst evaluates the
+    expressions natively."""
+    for name, e in exprs.items():
+        df = df.withColumn(name, F.expr(e))
+    return df
+
+
 def decode_pre_image(
     events: DataFrame,
     registry: list[SchemaVersion],

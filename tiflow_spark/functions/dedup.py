@@ -27,6 +27,20 @@ from tiflow_spark.functions.text import fingerprint
 from tiflow_spark.functions.xhash import P_MH, h60, minhash_params
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Ensure row-expanding work (shingle/token explode) runs wide.
+
+    A small parquet file arrives as ONE input split, so the ~100x explode
+    fan-out would run in a single task regardless of cluster size (measured:
+    14s single-task vs <1s wide at sf0.1). The repartition shuffles only the
+    compact pre-explode rows — negligible — and is skipped when the scan
+    already has enough splits (the 100 TB case)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact (normalized) text. Returns
     (fp, keep_id, n_dupes)."""
@@ -37,18 +51,32 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Character n-gram shingle set per document: (id, shingle), distinct.
-    Built with sequence+transform (JVM), exploded lazily."""
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Character n-gram shingles per document: (id, shingle). Built with
+    sequence+transform (JVM), exploded lazily.
+
+    ``distinct=True`` gives set semantics — REQUIRED for Jaccard (sizes and
+    intersections are set-wise) but costs a full shuffle of the exploded
+    rows. MinHash consumers should pass ``distinct=False``: min() over a
+    multiset equals min() over its set, so the signature is identical and
+    the pipeline becomes explode → map-side partial min → one row per doc
+    shuffled (round-1 bench spent most of the minhash query in this
+    distinct, not in the hashing)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
         lambda i: norm.substr(i, F.lit(n)),
     )
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
+    out = _spread(docs).select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
@@ -142,7 +170,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     60 bits (15 md5 hex chars) keeps the signature cross-engine exact (see
     xhash.py). Output: (id, simhash)."""
     n_bits = 60
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)

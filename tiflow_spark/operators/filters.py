@@ -64,6 +64,41 @@ def apply_event_filter(events: DataFrame, rule: EventFilterRule) -> DataFrame:
 
 
 @dataclass(frozen=True)
+class BinlogFilterRule:
+    """DM binlog filter rule (/root/reference/pkg/binlog-filter/filter.go):
+    regex over the table name + an event-kind set, with action Ignore or Do.
+    Rules evaluate in order; the first matching rule decides. ``events``
+    uses this engine's op codes ({"I","U","D","DDL"}); empty = all kinds."""
+
+    table_regex: str = ".*"
+    events: frozenset[str] = frozenset()
+    action: str = "ignore"  # "ignore" drops matches, "do" keeps only matches
+
+
+def binlog_filter_predicate(
+    rules: tuple[BinlogFilterRule, ...], table_col: str = "table_name"
+) -> Column:
+    """Keep-column for ordered binlog rules. rlike/isin are Catalyst
+    expressions — the regex runs JVM-side, per row, pushable into the scan."""
+    # fold right-to-left: earlier rules override later ones
+    keep: Column = F.lit(not any(r.action == "do" for r in rules))
+    for rule in reversed(rules):
+        hit = F.col(table_col).rlike(rule.table_regex)
+        if rule.events:
+            hit = hit & F.col("op").isin(*rule.events)
+        keep = F.when(hit, F.lit(rule.action == "do")).otherwise(keep)
+    return keep
+
+
+def apply_binlog_filter(
+    events: DataFrame,
+    rules: tuple[BinlogFilterRule, ...],
+    table_col: str = "table_name",
+) -> DataFrame:
+    return events.filter(binlog_filter_predicate(rules, table_col))
+
+
+@dataclass(frozen=True)
 class TableFilter:
     """Include/exclude glob patterns over table names (filter.go:230-238).
     Our stream is single-table, but multi-table changefeeds route by a

@@ -313,7 +313,9 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_minhash_sigs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dd.minhash_signatures(dd.shingles(d), k=4)
+    # distinct=False: min() is duplicate-insensitive, so the signature is
+    # identical without shuffling the exploded shingles (see dedup.shingles)
+    return dd.minhash_signatures(dd.shingles(d, distinct=False), k=4)
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
@@ -329,8 +331,8 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
     ONLY from band collisions; exact Jaccard verification is driven by the
     candidate pair list (never an all-pairs shingle self-join)."""
     d = _t(spark, sf_dir, "documents")
-    sh = dd.shingles(d)
-    sigs = dd.minhash_signatures(sh, k=8)
+    sh = dd.shingles(d)  # set semantics for the Jaccard verify
+    sigs = dd.minhash_signatures(dd.shingles(d, distinct=False), k=8)
     cand = dd.lsh_candidate_pairs(sigs, k=8, bands=4)
     return dd.jaccard_pairs(sh, candidates=cand, threshold=0.4).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -339,6 +341,26 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing under the driver oracle: documents' text bytes
+    stand in for opaque media content (the corpus is ASCII, so byte == char
+    for the SQL oracle); the REAL Arrow mapInPandas decode path emits exact
+    integer fold-features both engines reproduce bit-for-bit. The lossy
+    codec itself stays a stubbed boundary (functions/multimodal.py)."""
+    from tiflow_spark.functions.multimodal import extract_feature_sums
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return extract_feature_sums(media)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -383,6 +405,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "multimodal_features": q_multimodal_features,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -702,6 +725,27 @@ ORACLES = {
     """,
     "dedup_lsh_jaccard": _lsh_jaccard_sql(k=8, bands=4, threshold=0.4),
     "dedup_simhash": _simhash_sql(60),
+    "multimodal_features": """
+      WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               text
+        FROM documents),
+      spine AS (
+        SELECT media_id, kind, text, CAST(j AS INT) AS feat_idx
+        FROM media, unnest(generate_series(0, 7)) AS s(j)),
+      pos AS (
+        SELECT media_id, CAST((t.i - 1) % 8 AS INT) AS fi,
+               ord(substr(text, CAST(t.i AS INT), 1)) AS byte_val
+        FROM media, unnest(generate_series(1, length(text))) AS t(i)),
+      sums AS (SELECT media_id, fi, sum(byte_val) AS fs FROM pos GROUP BY 1, 2)
+      SELECT spine.media_id, kind, CAST(length(text) AS BIGINT) AS n_bytes,
+             md5(text) AS content_hash, feat_idx,
+             CAST(coalesce(fs, 0) AS BIGINT) AS feat_sum
+      FROM spine LEFT JOIN sums
+        ON sums.media_id = spine.media_id AND sums.fi = spine.feat_idx
+    """,
     "ann_topk": _ann_topk_sql(k=10),
     "ann_lsh_topk": _ann_lsh_topk_sql(k=10, n_planes=4),
     "embedding_near_dups": _near_dups_sql(threshold=0.4, n_planes=4),

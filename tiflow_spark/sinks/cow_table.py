@@ -359,7 +359,37 @@ class CowTable:
                 new_buckets[str(b)] = bucket_dir
         return commit(new_buckets, n_events, len(affected))
 
+    # ---------------- bootstrap (DM full-load analog) ----------------
+
+    def bootstrap(self, snapshot: DataFrame, as_of_ts: int, batch_id: int = 0) -> MergeStats:
+        """DM-style full load: seed the table from an existing snapshot taken
+        at ``as_of_ts``, then stream the binlog from that ts (the dump/load →
+        incremental switchover in /root/reference/dm/: loadunit then syncer
+        starting at the dump's checkpoint). Every snapshot row merges as an
+        INSERT versioned at as_of_ts, so change events with commit_ts >
+        as_of_ts win over it and redelivered events below it lose — the
+        switchover needs no gap or overlap bookkeeping beyond the ts."""
+        batch = snapshot.select(
+            F.lit("I").alias("op"),
+            F.lit(as_of_ts).cast("long").alias("commit_ts"),
+            F.lit(as_of_ts - 1).cast("long").alias("start_ts"),
+            F.lit(0).cast("int").alias("source_partition"),
+            *[F.col(c) for c in self.key_cols],
+            *[F.col(c) for c in self.data_cols if c in snapshot.columns],
+        )
+        return self.merge(batch, batch_id=batch_id)
+
     # ---------------- maintenance ----------------
+
+    def lag(self) -> int | None:
+        """Checkpoint-lag analog (ticdc_owner_checkpoint_ts_lag): commit-ts
+        distance between the newest event ever applied and the table's
+        resolved watermark. None before the first commit."""
+        m = self.current_manifest()
+        fr = m.get("frontiers", {})
+        if not fr or m.get("resolved_ts") is None:
+            return None
+        return max(fr.values()) - m["resolved_ts"]
 
     def lineage(self) -> DataFrame:
         """Per-epoch per-source-partition applied counts + frontiers — read

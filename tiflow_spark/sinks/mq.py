@@ -80,3 +80,25 @@ def write_mq_files(frame: DataFrame, out_dir: str) -> None:
     """File-backed stand-in for the broker: one dir per partition, ordered
     within by the consumer's replay sort."""
     frame.write.mode("overwrite").partitionBy("partition").parquet(out_dir)
+
+
+def canal_json_decode(frame: DataFrame, data_schema: str) -> DataFrame:
+    """Consumer side (/root/reference/cmd/kafka-consumer/main.go:36): parse
+    the canal-JSON envelope back into change rows ready for replay into a
+    CowTable — proving the encoded stream alone reconstructs state.
+    ``data_schema`` is the DDL of the `data` struct (keys + data columns)."""
+    from pyspark.sql import functions as F
+
+    env = F.from_json(
+        "value",
+        f"type STRING, es LONG, pkNames ARRAY<STRING>, data STRUCT<{data_schema}>",
+    )
+    return frame.select(
+        F.when(env["type"] == "INSERT", "I")
+        .when(env["type"] == "UPDATE", "U")
+        .otherwise("D")
+        .alias("op"),
+        env["es"].alias("commit_ts"),
+        F.col("value").alias("_raw"),
+        env["data"].alias("_data"),
+    ).select("op", "commit_ts", "_data.*")
