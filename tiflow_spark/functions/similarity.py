@@ -136,6 +136,63 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``n_centroids`` inverted
+    lists by nearest centroid; each query scores only its ``nprobe`` nearest
+    lists. The scale path when bucket counts must track corpus size more
+    finely than 2^planes: lists shrink as n_centroids grows, recall is
+    bought back with nprobe.
+
+    Deterministic + oracle-exact: centroids are the corpus vectors with
+    id < n_centroids (a deterministic "sample" — a real deployment would
+    k-means them offline); distances are integer L2 over quantized vectors
+    (exact in both engines), ties broken by centroid id. One corpus pass to
+    assign, a broadcast of the (tiny) centroid and probe sets — no shuffle
+    of the corpus beyond the assignment groupBy."""
+    c = corpus.select(F.col(id_col), qvec(F.col(vec_col)).alias("cv"))
+    cents = c.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("cv").alias("cent")
+    )
+
+    def d2(a: Column, b: Column) -> Column:
+        # integer |a-b|^2 = a.a - 2a.b + b.b — exact, order-insensitive
+        return dot_long(a, a) - 2 * dot_long(a, b) + dot_long(b, b)
+
+    asg_w = Window.partitionBy(id_col).orderBy("d2", "cid")
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2(F.col("cv"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(asg_w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid", "cv")
+    )
+
+    q = queries.select(F.col(query_id_col), qvec(F.col(vec_col)).alias("qv"))
+    probe_w = Window.partitionBy(query_id_col).orderBy("d2", "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2(F.col("qv"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id_col, "qv", "cid")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cid").select(
+        query_id_col, id_col, qcosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     dim: int,

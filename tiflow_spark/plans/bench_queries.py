@@ -297,6 +297,18 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_quality(spark, sf_dir):
+    """Gopher/C4-style quality features + composite score."""
+    d = _t(spark, sf_dir, "documents")
+    f = tx.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(f["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
 def q_text_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", tx.lang_id(F.col("text")).alias("pred_lang"))
@@ -377,6 +389,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     ).select("query_id", "vec_id", "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.ivf_topk(e, queries, n_centroids=16, nprobe=4, k=10).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return sim.embedding_near_dups(
@@ -398,6 +418,7 @@ QUERIES = {
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
     "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -408,6 +429,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
@@ -577,6 +599,40 @@ def _ann_lsh_topk_sql(k: int = 10, n_planes: int = 4) -> str:
     """
 
 
+def _ann_ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    # integer L2: a.a - 2a.b + b.b, exact in both engines
+    d2 = (
+        "(list_dot_product({a},{a})::BIGINT - 2*list_dot_product({a},{b})::BIGINT"
+        " + list_dot_product({b},{b})::BIGINT)"
+    )
+    cos = _QCOS.format(a="p.qv", b="a.cv")
+    return f"""
+      WITH e AS (SELECT vec_id, {_QEMB} AS q FROM embeddings),
+      cents AS (SELECT vec_id AS cid, q AS cent FROM e WHERE vec_id < {n_centroids}),
+      asg0 AS (
+        SELECT e.vec_id, cents.cid, e.q AS cv,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2.format(a='e.q', b='cents.cent')}, cents.cid) AS rn
+        FROM e, cents),
+      assigned AS (SELECT vec_id, cid, cv FROM asg0 WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 5),
+      pr0 AS (
+        SELECT qs.query_id, qs.qv, cents.cid,
+               row_number() OVER (PARTITION BY qs.query_id
+                 ORDER BY {d2.format(a='qs.qv', b='cents.cent')}, cents.cid) AS rn
+        FROM qs, cents),
+      probes AS (SELECT query_id, qv, cid FROM pr0 WHERE rn <= {nprobe}),
+      scored AS (
+        SELECT p.query_id, a.vec_id, {cos} AS sim
+        FROM assigned a JOIN probes p ON a.cid = p.cid),
+      ranked AS (
+        SELECT query_id, vec_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def _near_dups_sql(threshold: float = 0.4, n_planes: int = 4) -> str:
     planes = sim.hyperplanes(EMBEDDING_DIM, n_planes)
     cos = _QCOS.format(a="a.q", b="b.q")
@@ -701,6 +757,34 @@ ORACLES = {
           ELSE 0.0 END, 6) AS punct_ratio
       FROM documents
     """,
+    "text_quality": """
+      WITH f AS (
+        SELECT doc_id,
+          length(text) AS n_chars,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+          length(replace(text, ' ', '')) AS n_nonspace,
+          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+          ((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5.0
+           + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5.0
+           + (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 5.0)
+            AS stop_hits
+        FROM documents),
+      g AS (
+        SELECT doc_id, n_chars, n_words, n_punct,
+          CASE WHEN n_words > 0 THEN n_nonspace * 1.0 / n_words ELSE 0.0 END AS mwl,
+          CASE WHEN n_words > 0 THEN stop_hits / n_words ELSE 0.0 END AS swr,
+          CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr
+        FROM f)
+      SELECT doc_id, round(mwl, 6) AS mean_word_len,
+             round(swr, 6) AS stopword_ratio,
+             round(CAST(
+               (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+             + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END) * 0.3
+             + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+             + (CASE WHEN swr > 0.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE), 6) AS quality
+      FROM g
+    """,
     "text_lang_id": f"SELECT doc_id, {_lang_sql()} AS pred_lang FROM documents",
     "text_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
     "dedup_exact": f"""
@@ -748,5 +832,6 @@ ORACLES = {
     """,
     "ann_topk": _ann_topk_sql(k=10),
     "ann_lsh_topk": _ann_lsh_topk_sql(k=10, n_planes=4),
+    "ann_ivf_topk": _ann_ivf_sql(n_centroids=16, nprobe=4, k=10),
     "embedding_near_dups": _near_dups_sql(threshold=0.4, n_planes=4),
 }
