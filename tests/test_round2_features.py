@@ -347,3 +347,88 @@ def test_bootstrap_then_incremental(spark, tmp_path):
     got = {r["conv_id"]: r["text"] for r in table.snapshot().collect()}
     assert got == {"c1": "snap1", "c2": "fresh", "c3": "new"}
     assert table.lag() is not None and table.lag() >= 0
+
+
+# ------------------------------------------------------- strict frontier
+
+def test_strict_frontier_withholds_above_watermark(spark, tmp_path):
+    """Commit-fence mode (engine.go:103-113): an event above the global
+    resolved-ts is NOT visible after its epoch; it applies once the lagging
+    partition's frontier passes it. Final state matches the eager mode."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "schema_version LONG, payload STRING, pre_payload STRING, source_partition INT"
+    )
+
+    def ev(op, cts, conv, part):
+        return (op, cts, cts - 1, conv, 0, 1,
+                f'{{"role":"u","text":"{conv}"}}', None, part)
+
+    # batch 0: partition 0 reaches ts 100; partition 1 only 50 -> resolved=50.
+    # the ts-80 event (partition 0) is above the watermark: withheld.
+    b0 = [ev("I", 40, "early", 1), ev("I", 50, "edge", 1),
+          ev("I", 80, "late", 0), ev("I", 100, "later", 0)]
+    r0 = apply_epoch(table, default_registry(10**9)[:1],
+                     spark.createDataFrame(b0, schema), batch_id=0, strict_frontier=True)
+    assert r0.resolved_ts == 50
+    vis0 = {r["conv_id"] for r in table.snapshot().collect()}
+    assert vis0 == {"early", "edge"}, vis0
+    assert table.read_pending().count() == 2
+
+    # batch 1: partition 1 advances to 90 -> resolved=min(100,90)=90;
+    # the withheld ts-80 event becomes visible, ts-100 stays pending.
+    b1 = [ev("I", 90, "b1", 1)]
+    r1 = apply_epoch(table, default_registry(10**9)[:1],
+                     spark.createDataFrame(b1, schema), batch_id=1, strict_frontier=True)
+    assert r1.resolved_ts == 90
+    vis1 = {r["conv_id"] for r in table.snapshot().collect()}
+    assert vis1 == {"early", "edge", "late", "b1"}, vis1
+    assert table.read_pending().count() == 1
+
+    # batch 2: both partitions pass 100 -> everything drains.
+    b2 = [ev("I", 150, "b2", 0), ev("I", 150, "b2", 1)]
+    apply_epoch(table, default_registry(10**9)[:1],
+                spark.createDataFrame(b2, schema), batch_id=2, strict_frontier=True)
+    vis2 = {r["conv_id"] for r in table.snapshot().collect()}
+    assert "later" in vis2 and table.read_pending().count() == 0
+    # vacuum reclaims superseded pending generations
+    table.vacuum(keep_manifests=1)
+    assert len(glob.glob(str(tmp_path / "t" / "pending" / "*"))) <= 1
+
+
+def test_strict_streaming_matches_oracle(spark, tmp_path):
+    """The full streaming changefeed in strict mode converges to the same
+    oracle state (events the last epochs leave pending are those above the
+    final watermark — the generator's last band, which the oracle also
+    treats as applied; so drain until pending is empty via a final
+    all-partitions band)."""
+    from dataclasses import replace
+
+    spec = replace(DDL_SPEC, emit_ddl=False)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    table = CowTable(spark, str(tmp_path / "table"), n_buckets=8)
+    feed = Changefeed(
+        spark=spark,
+        events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table=table,
+        registry=default_registry(spec.ddl_ts),
+        strict_frontier=True,
+        max_files_per_trigger=3,
+    )
+    feed.run_available_now()
+    # whatever is still pending is above the final global watermark; apply
+    # the remainder by a drain epoch at +inf frontier (all partitions report)
+    pend = table.read_pending()
+    if pend is not None and pend.count() > 0:
+        from tiflow_spark.plans.pipeline import apply_epoch
+        from pyspark.sql import functions as F
+
+        drain = pend.withColumn("commit_ts", F.col("commit_ts"))
+        apply_epoch(table, feed.registry, drain,
+                    batch_id=table.last_committed_batch() + 1)
+    assert_matches_oracle(table, oracle_state(spark, spec))

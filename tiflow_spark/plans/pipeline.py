@@ -43,6 +43,7 @@ def apply_epoch(
     batch: DataFrame,
     batch_id: int,
     decoder: str = "jvm",
+    strict_frontier: bool = False,
 ) -> EpochResult:
     """Process one microbatch of raw change events into the table.
 
@@ -50,8 +51,19 @@ def apply_epoch(
     the frontier aggregate and the LWW reduce both scan the raw batch; the
     caller (streaming runner) persists the batch so the scan is one read.
     The merge is told the batch is pre-reduced, so it skips its own LWW.
-    """
+
+    ``strict_frontier=True`` enforces the reference's commit fence
+    (/root/reference/cdc/processor/sourcemanager/sorter/engine.go:103-113):
+    only events at or below the table's global resolved-ts are applied this
+    epoch; the rest are withheld in the table's pending store and re-enter
+    when the frontier passes them — readers never observe a row above the
+    watermark. The default (False) applies everything immediately: the
+    version-conditional merge makes that equally convergent, at the cost of
+    transiently exposing above-watermark rows (documented deviation)."""
     ev = with_op_order(batch)
+
+    if strict_frontier:
+        return _apply_epoch_strict(table, registry, ev, batch_id, decoder)
 
     # frontier + lineage as a SEPARATE tiny job: the scan projects only
     # (source_partition, commit_ts) — parquet column pruning makes it ~1% of
@@ -81,6 +93,52 @@ def apply_epoch(
         stats = table.merge(
             dec, batch_id, resolved_ts=resolved, lineage_rows=lineage_rows,
             pre_reduced=True, affected_buckets=affected,
+        )
+    finally:
+        net.unpersist()
+    return EpochResult(stats=stats, resolved_ts=resolved)
+
+
+def _apply_epoch_strict(
+    table: CowTable,
+    registry: list[SchemaVersion],
+    ev: DataFrame,
+    batch_id: int,
+    decoder: str,
+) -> EpochResult:
+    """Commit-fenced epoch: split (new events ∪ previous pending) at the NEW
+    global watermark; apply the ready half, persist the rest as the next
+    pending generation, commit both references in one atomic manifest swap.
+    Pending holds at most one frontier-lag of events (bounded by the source
+    contract, kv.go:58-66); it is rewritten whole each epoch and old
+    generations are vacuumed."""
+    from pyspark.sql import functions as F
+
+    if batch_id <= table.last_committed_batch():
+        return EpochResult(stats=MergeStats(batch_id=batch_id, skipped=True), resolved_ts=None)
+
+    lineage_rows = [
+        (batch_id, int(r["source_partition"]), int(r["resolved_ts"]), int(r["n_events"]))
+        for r in partition_frontiers(ev).collect()
+    ]
+    _, resolved = CowTable._advance_frontiers(table.current_manifest(), lineage_rows)
+
+    prev_pending = table.read_pending()
+    full = ev.unionByName(with_op_order(prev_pending)) if prev_pending is not None else ev
+    gate = F.col("commit_ts") <= F.lit(resolved if resolved is not None else -1)
+    # pending written BEFORE the manifest that references it (crash-safe:
+    # orphans are vacuumed); drop op_order — it is recomputed on re-entry
+    pending_rel = table.write_pending(full.filter(~gate).drop("op_order"), batch_id)
+
+    net = lww_latest(full.filter(gate)).withColumn("bucket", table._bucket_col()).persist()
+    net.count()
+    affected = [int(r["bucket"]) for r in net.select("bucket").distinct().collect()]
+    try:
+        decode = decode_payload_pandas if decoder == "pandas" else decode_payload
+        stats = table.merge(
+            decode(net, registry), batch_id, resolved_ts=resolved,
+            lineage_rows=lineage_rows, pre_reduced=True, affected_buckets=affected,
+            manifest_extra={"pending": pending_rel},
         )
     finally:
         net.unpersist()

@@ -226,6 +226,7 @@ class CowTable:
         lineage_rows: list[tuple[int, int, int, int]] | None = None,
         pre_reduced: bool = False,
         affected_buckets: list[int] | None = None,
+        manifest_extra: dict[str, Any] | None = None,
     ) -> MergeStats:
         """Apply one change batch exactly-once-in-effect.
 
@@ -273,6 +274,7 @@ class CowTable:
                     "applied_events": applied,
                     # lineage rides the SAME atomic rename as the merge
                     "lineage": [list(r) for r in lineage_rows],
+                    **(manifest_extra or {}),
                 }
             )
             if self.auto_vacuum_keep is not None:
@@ -358,6 +360,29 @@ class CowTable:
             if os.path.exists(f"{self.root}/{bucket_dir}"):
                 new_buckets[str(b)] = bucket_dir
         return commit(new_buckets, n_events, len(affected))
+
+    # ---------------- pending store (strict-frontier mode) ----------------
+
+    def read_pending(self) -> DataFrame | None:
+        """Events withheld above the watermark by a strict-frontier epoch
+        (plans/pipeline.py apply_epoch(strict_frontier=True)). The manifest
+        references the current pending generation; each strict epoch rewrites
+        it in full (it holds at most one frontier-lag's worth of events)."""
+        rel = self.current_manifest().get("pending")
+        if not rel or not os.path.exists(f"{self.root}/{rel}"):
+            return None
+        return self.spark.read.parquet(f"{self.root}/{rel}")
+
+    def write_pending(self, df: DataFrame, batch_id: int) -> str | None:
+        """Persist the new pending generation BEFORE the manifest commit that
+        references it (a crash in between leaves an orphan dir the next
+        vacuum removes). Returns the manifest-relative path, or None if df
+        is empty (checked by the write itself, not an extra count)."""
+        rel = f"pending/b{batch_id}"
+        df.write.mode("overwrite").parquet(f"{self.root}/{rel}")
+        # parquet always writes a _SUCCESS + footer even for 0 rows; an
+        # empty pending generation is still a valid (empty) reference
+        return rel
 
     # ---------------- bootstrap (DM full-load analog) ----------------
 
@@ -462,18 +487,27 @@ class CowTable:
         seqs = self._manifest_seqs()
         live = seqs[-keep_manifests:] if keep_manifests > 0 else seqs[-1:]
         referenced: set[str] = set()
+        pending_refs: set[str] = set()
         for seq in live:
-            referenced.update(self._read_manifest(seq).get("buckets", {}).values())
-        data_root = f"{self.root}/data"
-        if not os.path.isdir(data_root):
-            return 0
+            m = self._read_manifest(seq)
+            referenced.update(m.get("buckets", {}).values())
+            if m.get("pending"):
+                pending_refs.add(m["pending"])
         removed = 0
-        for batch_dir in os.listdir(data_root):
-            for bucket_dir in os.listdir(f"{data_root}/{batch_dir}"):
-                rel = f"data/{batch_dir}/{bucket_dir}"
-                if bucket_dir.startswith("bucket=") and rel not in referenced:
-                    shutil.rmtree(f"{self.root}/{rel}", ignore_errors=True)
+        data_root = f"{self.root}/data"
+        if os.path.isdir(data_root):
+            for batch_dir in os.listdir(data_root):
+                for bucket_dir in os.listdir(f"{data_root}/{batch_dir}"):
+                    rel = f"data/{batch_dir}/{bucket_dir}"
+                    if bucket_dir.startswith("bucket=") and rel not in referenced:
+                        shutil.rmtree(f"{self.root}/{rel}", ignore_errors=True)
+                        removed += 1
+                if not os.listdir(f"{data_root}/{batch_dir}"):
+                    os.rmdir(f"{data_root}/{batch_dir}")
+        pend_root = f"{self.root}/pending"
+        if os.path.isdir(pend_root):
+            for d in os.listdir(pend_root):
+                if f"pending/{d}" not in pending_refs:
+                    shutil.rmtree(f"{pend_root}/{d}", ignore_errors=True)
                     removed += 1
-            if not os.listdir(f"{data_root}/{batch_dir}"):
-                os.rmdir(f"{data_root}/{batch_dir}")
         return removed

@@ -89,6 +89,9 @@ class Changefeed:
     decoder: str = "jvm"
     registry_path: str | None = None
     ddl_in_stream: bool = False
+    # commit-fence mode: withhold events above the global resolved-ts to the
+    # table's pending store (reference engine.go:103-113); see apply_epoch
+    strict_frontier: bool = False
     tables: dict[str, tuple[CowTable, list[SchemaVersion]]] | None = None
     table_col: str = "table_name"
     event_schema: T.StructType | None = None
@@ -153,7 +156,8 @@ class Changefeed:
                 else:
                     batch_dml = batch
                 res = apply_epoch(
-                    self.table, registry, batch_dml, int(batch_id), decoder=self.decoder
+                    self.table, registry, batch_dml, int(batch_id),
+                    decoder=self.decoder, strict_frontier=self.strict_frontier,
                 )
                 self.batch_log.append((int(batch_id), res.stats))
             else:
