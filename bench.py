@@ -69,6 +69,42 @@ def run_cdc_replay(spark, n_convs: int, workdir: str) -> dict:
     return {**warm, "cold": cold}
 
 
+def run_cdc_stream(spark, n_convs: int, workdir: str) -> dict:
+    """Steady-state changefeed: commit_ts-banded epochs applied IN SEQUENCE
+    through the streaming runner into one growing table — each epoch pays
+    the real costs a long-lived feed pays (fencing, existing-bucket
+    reconcile, manifest commits), unlike the fresh-table single-epoch
+    replay above."""
+    import glob
+
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.sources.registry import default_registry
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=n_convs, hot_turns=256, n_source_partitions=32)
+    events_dir = f"{workdir}/stream_events"
+    write_epoch_files(spark, spec, events_dir)
+    n = spark.read.parquet(*glob.glob(events_dir + "/epoch_*")).count()
+
+    table = CowTable(spark, f"{workdir}/stream_table", n_buckets=32,
+                     auto_vacuum_keep=3)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=f"{workdir}/stream_ckpt", table=table,
+        registry=default_registry(spec.ddl_ts), max_files_per_trigger=64,
+    )
+    t0 = time.time()
+    feed.run_available_now()
+    dt = time.time() - t0
+    return {
+        "events": n,
+        "epochs": len(feed.batch_log),
+        "seconds": round(dt, 3),
+        "events_per_sec": round(n / dt),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -98,6 +134,8 @@ def main() -> None:
     replay_convs = {"0.001": 2_000, "0.01": 20_000, "0.1": 60_000}.get(sf, 60_000)
     replay = run_cdc_replay(spark, replay_convs, workdir)
     timings["cdc_replay"] = replay["seconds"]
+    stream = run_cdc_stream(spark, replay_convs, workdir)
+    timings["cdc_stream"] = stream["seconds"]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -109,6 +147,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cdc_replay": replay,
+                "cdc_stream": stream,
             }
         )
     )
