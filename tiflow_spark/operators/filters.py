@@ -99,6 +99,33 @@ def apply_binlog_filter(
 
 
 @dataclass(frozen=True)
+class RouteRule:
+    """DM table routing (dm route rules / pkg/router): source tables whose
+    name matches ``table_regex`` route to ONE ``target`` table — the
+    shard-merge DML path (N upstream shards → one downstream table). Rules
+    evaluate in order, first match wins; non-matching tables keep their
+    name. Sharding-DDL coordination (pessimistic/optimistic shard locks,
+    dm/pkg/shardddl) is out of scope: shard schemas must already agree,
+    which is the steady-state shard case."""
+
+    table_regex: str
+    target: str
+
+
+def route_tables(
+    events: DataFrame,
+    rules: tuple[RouteRule, ...],
+    table_col: str = "table_name",
+) -> DataFrame:
+    expr: Column = F.col(table_col)
+    for rule in reversed(rules):  # earlier rules applied last -> win
+        expr = F.when(
+            F.col(table_col).rlike(rule.table_regex), F.lit(rule.target)
+        ).otherwise(expr)
+    return events.withColumn(table_col, expr)
+
+
+@dataclass(frozen=True)
 class TableFilter:
     """Include/exclude glob patterns over table names (filter.go:230-238).
     Our stream is single-table, but multi-table changefeeds route by a

@@ -94,6 +94,8 @@ class Changefeed:
     strict_frontier: bool = False
     tables: dict[str, tuple[CowTable, list[SchemaVersion]]] | None = None
     table_col: str = "table_name"
+    # DM shard-merge routing: applied to table_name before table dispatch
+    route_rules: tuple | None = None
     event_schema: T.StructType | None = None
     batch_log: list = field(default_factory=list)  # (batch_id, [name,] MergeStats)
 
@@ -161,6 +163,10 @@ class Changefeed:
                 )
                 self.batch_log.append((int(batch_id), res.stats))
             else:
+                if self.route_rules:
+                    from tiflow_spark.operators.filters import route_tables
+
+                    batch = route_tables(batch, self.route_rules, self.table_col)
                 for name in sorted(self.tables):
                     tbl, reg = self.tables[name]
                     sub = batch.filter(F.col(self.table_col) == name)
