@@ -136,6 +136,7 @@ def decode_payload_pandas(
     events: DataFrame,
     registry: list[SchemaVersion],
     payload_col: str = "payload",
+    prefix: str = "",
 ) -> DataFrame:
     """Arrow-batched pandas mounter. Same output as ``decode_payload``.
 
@@ -144,7 +145,10 @@ def decode_payload_pandas(
     vectorized ``pd.json_normalize`` per version present in the batch.
     """
     target = latest_schema(registry)
-    out_schema = T.StructType(events.schema.fields + list(target.fields))
+    out_schema = T.StructType(
+        events.schema.fields
+        + [T.StructField(prefix + f.name, f.dataType, f.nullable) for f in target.fields]
+    )
     version_fields = {v.schema_version: set(v.field_names) for v in registry}
     target_fields = [(f.name, f.dataType) for f in target.fields]
 
@@ -169,7 +173,7 @@ def decode_payload_pandas(
                 col = out_cols[name]
                 if isinstance(dtype, T.TimestampType):
                     col = pd.to_datetime(col, format="ISO8601", utc=True).dt.tz_localize(None)
-                res[name] = col
+                res[prefix + name] = col
             yield res
 
     return events.mapInPandas(mount, schema=out_schema)

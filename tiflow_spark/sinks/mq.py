@@ -82,6 +82,22 @@ def write_mq_files(frame: DataFrame, out_dir: str) -> None:
     frame.write.mode("overwrite").partitionBy("partition").parquet(out_dir)
 
 
+def write_mq_kafka(
+    frame: DataFrame, bootstrap_servers: str, topic: str
+) -> None:
+    """The real broker write: the (key, value, partition) frame is exactly
+    what Spark's Kafka sink takes. Requires the spark-sql-kafka package on
+    the classpath (not present in this sandbox — the file-backed
+    ``write_mq_files`` + consumer replay is the tested contract; this is the
+    production path, one writer call)."""
+    (
+        frame.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
+
+
 def canal_json_decode(frame: DataFrame, data_schema: str) -> DataFrame:
     """Consumer side (/root/reference/cmd/kafka-consumer/main.go:36): parse
     the canal-JSON envelope back into change rows ready for replay into a
