@@ -189,3 +189,41 @@ def test_shard_merge_routing(spark, tmp_path):
     got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in target.snapshot().collect()}
     # both shards merged; cross-shard LWW on key 'a'; 'audit' NOT routed
     assert got == {("a", 0): "s1-new", ("b", 0): "s1"}
+
+
+def test_mq_changefeed_consumer_loop(spark, tmp_path):
+    """Full streaming->MQ->consumer loop: changefeed encodes the change
+    stream to batch-fenced MQ files; a consumer decodes and replays into a
+    fresh CowTable; final state equals the direct-table changefeed
+    (kafka-consumer + sync-diff posture, end to end)."""
+    import glob
+
+    from tests.test_e2e_replay import SPEC, assert_matches_oracle, oracle_state
+    from tiflow_spark.sources.datagen import write_epoch_files
+    from tiflow_spark.sources.registry import default_registry
+    from tiflow_spark.streaming.runner import Changefeed
+
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, SPEC, events_dir)
+    feed = Changefeed(
+        spark=spark,
+        events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        registry=default_registry(SPEC.ddl_ts),
+        max_files_per_trigger=3,
+    )
+    mq_dir = str(tmp_path / "mq")
+    feed.run_mq(mq_dir, n_partitions=4)
+    assert len(glob.glob(mq_dir + "/batch=*")) >= 2
+
+    # consumer: decode the envelope and replay into a table
+    data_schema = ("conv_id STRING, turn_idx INT, role STRING, text STRING, "
+                   "tool STRING, ts TIMESTAMP")
+    consumed = canal_json_decode(
+        spark.read.parquet(mq_dir + "/batch=*"), data_schema
+    ).withColumn("start_ts", F.col("commit_ts") - 1).withColumn(
+        "source_partition", F.lit(0)
+    )
+    table = CowTable(spark, str(tmp_path / "replayed"), n_buckets=8)
+    table.merge(consumed, batch_id=0)
+    assert_matches_oracle(table, oracle_state(spark, SPEC))

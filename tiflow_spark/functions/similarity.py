@@ -233,8 +233,16 @@ def embedding_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            qcosine(F.col("a.qv"), F.col("b.qv")).alias("sim"),
+            F.col("a.qv").alias("qa"),
+            F.col("b.qv").alias("qb"),
         )
-        .distinct()
     )
-    return pairs.filter(F.col("sim") >= threshold)
+    if n_tables > 1:
+        # a pair sharing buckets in several tables appears once per table;
+        # dedup on ids BEFORE scoring (single-table blocking is dup-free,
+        # so the extra shuffle is skipped entirely)
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    scored = pairs.select(
+        "id_a", "id_b", qcosine(F.col("qa"), F.col("qb")).alias("sim")
+    )
+    return scored.filter(F.col("sim") >= threshold)

@@ -297,6 +297,13 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_bpe(spark, sf_dir):
+    """BPE-ish token estimate: ceil(len/4) subwords per word + standalone
+    punctuation (byte-pair ~4-chars/token heuristic)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.bpe_token_estimate(F.col("text")).alias("bpe_tokens"))
+
+
 def q_text_quality(spark, sf_dir):
     """Gopher/C4-style quality features + composite score."""
     d = _t(spark, sf_dir, "documents")
@@ -418,6 +425,7 @@ QUERIES = {
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
     "text_stats": q_text_stats,
+    "text_bpe": q_text_bpe,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
@@ -755,6 +763,15 @@ ORACLES = {
         round(CASE WHEN length(text) > 0
           THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
           ELSE 0.0 END, 6) AS punct_ratio
+      FROM documents
+    """,
+    "text_bpe": """
+      SELECT doc_id,
+        CAST(list_sum(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'),
+               w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+             + length(regexp_replace(text, '[^.,;:!?()\\[\\]{}]', '', 'g'))
+             AS BIGINT) AS bpe_tokens
       FROM documents
     """,
     "text_quality": """

@@ -227,6 +227,50 @@ class Changefeed:
         if q.exception() is not None:
             raise q.exception()
 
+    def run_mq(
+        self,
+        mq_dir: str,
+        n_partitions: int = 16,
+        dispatch: str = "index-value",
+        timeout_sec: int = 600,
+    ) -> None:
+        """Changefeed to an MQ sink instead of a table: each microbatch's
+        events are decoded, canal-JSON-encoded with partition routing, and
+        written to ``{mq_dir}/batch=<id>`` — overwrite per batch id, so a
+        replayed epoch rewrites its own directory (idempotent, the MQ
+        analog of the table's batch fence). A consumer replays the encoded
+        stream into a table (sinks/mq.canal_json_decode) — the reference's
+        kafka-consumer verification loop. With a Kafka classpath, swap the
+        file write for sinks/mq.write_mq_kafka."""
+        from tiflow_spark.functions.decode import decode_payload
+        from tiflow_spark.sinks.mq import encode_for_mq
+
+        def emit(batch: DataFrame, batch_id: int) -> None:
+            registry = self._current_registry()
+            if self.ddl_in_stream:
+                registry, batch = self._apply_ddls(batch.persist(), registry)
+            frame = encode_for_mq(
+                decode_payload(batch, registry),
+                n_partitions=n_partitions,
+                dispatch=dispatch,
+            )
+            frame.write.mode("overwrite").parquet(f"{mq_dir}/batch={batch_id}")
+            self.batch_log.append((int(batch_id), "mq"))
+
+        q = (
+            self._stream()
+            .writeStream.foreachBatch(emit)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("mq changefeed did not drain within timeout")
+        if q.exception() is not None:
+            raise q.exception()
+
     def run_continuous(self, processing_time: str = "1 second"):
         """Long-lived changefeed — the reference's only mode: keep tailing
         the log at a microbatch cadence. Returns the StreamingQuery handle;
