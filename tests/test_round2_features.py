@@ -432,3 +432,31 @@ def test_strict_streaming_matches_oracle(spark, tmp_path):
         apply_epoch(table, feed.registry, drain,
                     batch_id=table.last_committed_batch() + 1)
     assert_matches_oracle(table, oracle_state(spark, spec))
+
+
+def test_changefeed_start_ts(spark, tmp_path):
+    """changefeed create --start-ts analog: events below start_ts never
+    replicate; keys whose whole history predates it are absent, keys
+    spanning it replicate only their post-start tail."""
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "schema_version LONG, payload STRING, pre_payload STRING, source_partition INT"
+    )
+    rows = [
+        ("I", 100, 99, "old", 0, 1, '{"role":"u","text":"old"}', None, 0),
+        ("I", 100, 99, "span", 0, 1, '{"role":"u","text":"v1"}', None, 0),
+        ("U", 900, 899, "span", 0, 1, '{"role":"u","text":"v2"}', None, 0),
+        ("I", 950, 949, "new", 0, 1, '{"role":"u","text":"new"}', None, 0),
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows, schema).write.parquet(events_dir)
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table=table, registry=default_registry(10**9)[:1],
+        start_ts=500,
+    )
+    feed.run_available_now()
+    got = {r["conv_id"]: r["text"] for r in table.snapshot().collect()}
+    assert got == {"span": "v2", "new": "new"}  # 'old' never replicated

@@ -92,6 +92,11 @@ class Changefeed:
     # commit-fence mode: withhold events above the global resolved-ts to the
     # table's pending store (reference engine.go:103-113); see apply_epoch
     strict_frontier: bool = False
+    # replication start point (changefeed create --start-ts; reference
+    # cli_changefeed_create / resumeChangefeed with checkpoint ts): events
+    # below it are skipped at the source — starting mid-log replicates only
+    # history from that ts on, exactly the reference semantic
+    start_ts: int | None = None
     tables: dict[str, tuple[CowTable, list[SchemaVersion]]] | None = None
     table_col: str = "table_name"
     # DM shard-merge routing: applied to table_name before table dispatch
@@ -203,11 +208,16 @@ class Changefeed:
         return CHANGE_EVENT_SCHEMA_MULTI if self.tables is not None else CHANGE_EVENT_SCHEMA
 
     def _stream(self):
-        return (
+        s = (
             self.spark.readStream.schema(self._schema())
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .parquet(self.events_dir)
         )
+        if self.start_ts is not None:
+            s = s.filter(
+                (F.col("commit_ts") >= self.start_ts) | (F.col("op") == "DDL")
+            )
+        return s
 
     def run_available_now(self, timeout_sec: int = 600) -> None:
         """Drain everything currently in the log, then stop (the batch-replay
