@@ -256,16 +256,22 @@ class Changefeed:
         from tiflow_spark.sinks.mq import encode_for_mq
 
         def emit(batch: DataFrame, batch_id: int) -> None:
-            registry = self._current_registry()
-            if self.ddl_in_stream:
-                registry, batch = self._apply_ddls(batch.persist(), registry)
-            frame = encode_for_mq(
-                decode_payload(batch, registry),
-                n_partitions=n_partitions,
-                dispatch=dispatch,
-            )
-            frame.write.mode("overwrite").parquet(f"{mq_dir}/batch={batch_id}")
-            self.batch_log.append((int(batch_id), "mq"))
+            batch = batch.persist()
+            try:
+                registry = self._current_registry()
+                if self.ddl_in_stream:
+                    registry, batch_dml = self._apply_ddls(batch, registry)
+                else:
+                    batch_dml = batch
+                frame = encode_for_mq(
+                    decode_payload(batch_dml, registry),
+                    n_partitions=n_partitions,
+                    dispatch=dispatch,
+                )
+                frame.write.mode("overwrite").parquet(f"{mq_dir}/batch={batch_id}")
+                self.batch_log.append((int(batch_id), "mq"))
+            finally:
+                batch.unpersist()
 
         q = (
             self._stream()
