@@ -129,3 +129,44 @@ def test_ddl_barrier_registry_evolution(spark, tmp_path, tmp_table_dir):
         apply_epoch(table, load_registry(spark, reg_path), band, batch_id=k)
 
     assert_matches_oracle(table, oracle_state(spark, spec))
+
+
+def test_verify_changefeed_distributed_sync_diff(spark, tmp_table_dir):
+    """check_sync_diff analog: after a full replay, the distributed
+    expected-vs-actual chunk diff reports identical; corrupting one row
+    makes it report exactly that chunk + row."""
+    from tiflow_spark.operators.validate import verify_changefeed
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.datagen import GenSpec, generate_change_events
+    from tiflow_spark.sources.registry import default_registry
+
+    spec = GenSpec(n_convs=80, seed=21)
+    events = generate_change_events(spark, spec)
+    table = CowTable(spark, tmp_table_dir, n_buckets=8)
+    registry = default_registry(spec.ddl_ts)
+    apply_epoch(table, registry, events, batch_id=0)
+
+    res = verify_changefeed(table, events.drop("pre_payload"), registry)
+    assert res.identical, (res.mismatched_chunks, res.row_diffs)
+
+    # corrupt one applied row out-of-band -> the diff must catch it
+    import pyspark.sql.functions as F
+
+    snap = table.snapshot(include_tombstones=True)
+    corrupted = snap.withColumn(
+        "text",
+        F.when(F.col("conv_id") == "c0", F.lit("CORRUPTED")).otherwise(F.col("text")),
+    )
+    bad_dir = f"{tmp_table_dir}/data/corrupt"
+    corrupted.withColumn("bucket", table._bucket_col()).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(bad_dir)
+    m = table.current_manifest()
+    m["seq"] += 1
+    m["buckets"] = {
+        b: f"data/corrupt/bucket={b}" for b in m["buckets"]
+    }
+    table._commit_manifest(m)
+    res2 = verify_changefeed(table, events.drop("pre_payload"), registry)
+    assert not res2.identical and res2.row_diffs > 0

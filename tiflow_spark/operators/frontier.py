@@ -5,11 +5,14 @@ Reference: the frontier tracks the min over region/span resolved-ts
 checkpoint is the min over tables (/root/reference/cdc/owner/changefeed.go:480).
 
 Spark form: per microbatch, resolved_ts = min over source partitions of
-max(commit_ts). Events with commit_ts > resolved_ts are *not yet totally
-ordered* (a straggler partition may still deliver older ones); the sink's
-conditional-LWW merge makes them safe to apply anyway, so the frontier here
-serves (a) the completeness watermark reported in lineage and (b) the
-tombstone-GC bound, not a gating filter.
+max(commit_ts), carried forward per partition across batches in the sink's
+manifest (CowTable._advance_frontiers). Events with commit_ts > resolved_ts
+are *not yet totally ordered* (a straggler partition may still deliver older
+ones); by default the sink's conditional-LWW merge makes them safe to apply
+anyway, so the frontier serves the completeness watermark and the
+tombstone-GC bound. With ``apply_epoch(strict_frontier=True)`` it ALSO
+gates: above-watermark events are withheld in the table's pending store —
+the reference's commit fence (engine.go:103-113).
 """
 
 from __future__ import annotations

@@ -40,6 +40,29 @@ def _chunked_checksum(df: DataFrame, key_cols: list[str], cols: list[str], n_chu
     )
 
 
+def verify_changefeed(table, events: DataFrame, registry, n_chunks: int = 64) -> DiffResult:
+    """check_sync_diff analog (/root/reference/tests/integration_tests/
+    _utils/check_sync_diff:21-33): derive the expected final state from the
+    FULL source log (distributed LWW + decode — no driver-side oracle) and
+    chunk-diff it against the table snapshot. The post-migration/post-replay
+    verification a reference user runs; both sides are one scan each."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.functions.decode import decode_payload
+    from tiflow_spark.operators.lww import lww_latest, with_op_order
+
+    expected = (
+        decode_payload(lww_latest(with_op_order(events), table.key_cols), registry)
+        .filter(F.col("op") != "D")
+        .select(*table.key_cols, *[c for c in table.data_cols])
+    )
+    actual = table.snapshot().select(*table.key_cols, *table.data_cols)
+    return diff_tables(
+        expected, actual, key_cols=list(table.key_cols),
+        compare_cols=list(table.data_cols), n_chunks=n_chunks,
+    )
+
+
 def diff_tables(
     left: DataFrame,
     right: DataFrame,
