@@ -460,3 +460,97 @@ def test_changefeed_start_ts(spark, tmp_path):
     feed.run_available_now()
     got = {r["conv_id"]: r["text"] for r in table.snapshot().collect()}
     assert got == {"span": "v2", "new": "new"}  # 'old' never replicated
+
+
+# ------------------------------------------------------- crash injection
+
+def test_crash_between_pending_write_and_manifest_commit(spark, tmp_path):
+    """sink_hang/crash-chaos analog: kill the epoch AFTER the pending store
+    is written but BEFORE the manifest commit. The retry (same batch_id,
+    foreachBatch redelivery) must converge: the orphan pending generation is
+    ignored (manifest never referenced it) and later vacuumed."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "schema_version LONG, payload STRING, pre_payload STRING, source_partition INT"
+    )
+    rows = [
+        ("I", 50, 49, "a", 0, 1, '{"role":"u","text":"a"}', None, 0),
+        ("I", 90, 89, "b", 0, 1, '{"role":"u","text":"b"}', None, 1),
+        ("I", 120, 119, "c", 0, 1, '{"role":"u","text":"c"}', None, 0),  # above watermark
+    ]
+    df = spark.createDataFrame(rows, schema)
+    reg = default_registry(10**9)[:1]
+
+    orig = CowTable._commit_manifest
+    calls = {"n": 0}
+
+    def crashing(self, manifest):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before manifest commit")
+        return orig(self, manifest)
+
+    CowTable._commit_manifest = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            apply_epoch(table, reg, df, batch_id=0, strict_frontier=True)
+        # nothing committed: fence still open, table empty, pending orphaned
+        assert table.last_committed_batch() == -1
+        assert table.read_pending() is None  # manifest never referenced it
+        # retry the SAME epoch (foreachBatch redelivery)
+        r = apply_epoch(table, reg, df, batch_id=0, strict_frontier=True)
+        assert not r.stats.skipped
+    finally:
+        CowTable._commit_manifest = orig
+    vis = {r["conv_id"] for r in table.snapshot().collect()}
+    assert vis == {"a", "b"} and table.read_pending().count() == 1
+    table.vacuum(keep_manifests=1)  # orphan pending generation reclaimed
+    import glob as g
+    assert len(g.glob(str(tmp_path / "t" / "pending" / "*"))) == 1
+
+
+# ------------------------------------------------------- bank invariant
+
+def test_bank_invariant_across_epochs(spark, tmp_path):
+    """Bank-style invariant (reference tests/integration_tests/bank): every
+    update moves value between two accounts in the SAME commit_ts txn, so
+    SUM(balance) is constant at every epoch boundary."""
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    n_acct, total = 40, 40 * 100
+    schema = (
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+        "role STRING, text STRING, tool STRING, ts TIMESTAMP, balance LONG, "
+        "source_partition INT"
+    )
+    table = CowTable(
+        spark, str(tmp_path / "bank"), n_buckets=4,
+        data_schema={"role": "string", "text": "string", "tool": "string",
+                     "ts": "timestamp", "balance": "bigint"},
+    )
+    balances = {f"acct{i}": 100 for i in range(n_acct)}
+    seed_rows = [
+        ("I", 0, -1, k, 0, None, None, None, None, v, i % 4)
+        for i, (k, v) in enumerate(balances.items())
+    ]
+    table.merge(spark.createDataFrame(seed_rows, schema), batch_id=0)
+
+    import random
+    rng = random.Random(5)
+    for epoch in range(1, 6):
+        rows = []
+        for t in range(25):  # 25 transfers per epoch
+            a, b = rng.sample(list(balances), 2)
+            amt = rng.randint(1, balances[a])
+            balances[a] -= amt
+            balances[b] += amt
+            cts = epoch * 1000 + t
+            rows.append(("U", cts, cts - 1, a, 0, None, None, None, None, balances[a], 0))
+            rows.append(("U", cts, cts - 1, b, 0, None, None, None, None, balances[b], 1))
+        table.merge(spark.createDataFrame(rows, schema), batch_id=epoch)
+        got = table.snapshot().agg({"balance": "sum"}).first()[0]
+        assert got == total, f"epoch {epoch}: sum {got} != {total}"
