@@ -166,3 +166,26 @@ def test_embedding_near_dups(spark, vectors):
     assert all(r["sim"] >= 0.95 for r in rows)
     # near-dup pairs stay within a parity cluster
     assert all(r["id_a"] % 2 == r["id_b"] % 2 for r in rows)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= k + window - 1
+    (= 8 at k=5, w=4) produces at least one shared fingerprint; disjoint
+    texts share none."""
+    from tiflow_spark.functions.dedup import winnowing_fingerprints
+
+    shared = "a quick brown fox jumped over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (0, "PREFIX0 " + shared + " SUFFIX0"),
+            (1, "totally different beginning " + shared),
+            (2, "zzz qqq xxx vvv unrelated words entirely kkk"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = winnowing_fingerprints(docs, k=5, window=4)
+    sets = {i: set() for i in range(3)}
+    for r in fps.collect():
+        sets[r["id"]].add(r["fp"])
+    assert sets[0] & sets[1], "shared substring must yield a shared fingerprint"
+    assert not (sets[0] & sets[2])

@@ -163,6 +163,42 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): hash every k-gram, then keep the MINIMUM hash of each sliding
+    window of ``window`` consecutive k-grams — a position-robust local
+    fingerprint set guaranteeing any shared substring of length
+    >= k + window - 1 yields a shared fingerprint. The partial-overlap
+    detector that exact/minhash dedup misses (those are whole-document).
+
+    All JVM higher-order functions: one transform builds the k-gram hash
+    array, a second takes per-window array_min slices; explode + distinct.
+    Cross-engine exact via h60 (DuckDB oracle: list_transform +
+    list_min(list_slice)). Output: (id, fp) distinct."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    n_grams = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: h60(norm.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    fps = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda w: F.array_min(F.slice(hashes, w, window)),
+    )
+    return (
+        _spread(docs)
+        .select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per document: per word-token md5-derived hash, majority
     vote per bit. Pure DataFrame math: explode tokens → for each bit, sum ±1

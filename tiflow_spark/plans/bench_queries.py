@@ -362,6 +362,13 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash64(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) local fingerprints — partial-overlap detection.
+    Subset to bound output size at driver-compare scale."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    return dd.winnowing_fingerprints(d, k=5, window=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing under the driver oracle: documents' text bytes
     stand in for opaque media content (the corpus is ASCII, so byte == char
@@ -434,6 +441,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_winnowing": q_dedup_winnowing,
     "multimodal_features": q_multimodal_features,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -826,6 +834,24 @@ ORACLES = {
     """,
     "dedup_lsh_jaccard": _lsh_jaccard_sql(k=8, bands=4, threshold=0.4),
     "dedup_simhash": _simhash_sql(60),
+    "dedup_winnowing": f"""
+      WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS n
+        FROM documents WHERE doc_id < 100),
+      h AS (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(1, greatest(length(n) - 4, 1)),
+                 i -> {h60_sql("substr(n, CAST(i AS INT), 5)")}) AS hs
+        FROM norm),
+      w AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(hs) - 3, 1)),
+                 w -> list_min(hs[CAST(w AS INT):CAST(w + 3 AS INT)]))) AS fp
+        FROM h)
+      SELECT DISTINCT doc_id AS id, fp FROM w
+    """,
     "multimodal_features": """
       WITH media AS (
         SELECT doc_id AS media_id,
