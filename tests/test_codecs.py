@@ -146,10 +146,12 @@ def test_binlog_filter_rules(spark):
     )
     kept = {r["commit_ts"] for r in apply_binlog_filter(df, rules).collect()}
     assert kept == {1, 5}
-    # do-rule whitelists: only app_* survives
-    do = (BinlogFilterRule(table_regex="^app_.*", action="do"),)
+    # do-rule whitelist is scoped to the tables its regex matches
+    # (reference filter.go:341 keeps tables no rule matches): within app_*
+    # only inserts survive; tmp_scratch/logs_2024 match no rule -> kept
+    do = (BinlogFilterRule(table_regex="^app_.*", events=frozenset({"I"}), action="do"),)
     kept2 = {r["commit_ts"] for r in apply_binlog_filter(df, do).collect()}
-    assert kept2 == {1, 2, 4}
+    assert kept2 == {1, 3, 5}
 
 def test_shard_merge_routing(spark, tmp_path):
     """DM shard merge: N upstream shard tables route into ONE target

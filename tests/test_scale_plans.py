@@ -54,6 +54,33 @@ def test_ann_topk_broadcasts_queries(spark):
     assert "Broadcast" in plan, "query side must broadcast, not shuffle the corpus"
 
 
+def test_ivf_assignment_uses_partial_min_by(spark):
+    """Nearest-centroid assignment must be a partial-aggregating min_by
+    (map-side combine reduces the |corpus| x n_centroids cross product to
+    one row per vector BEFORE the exchange) — not a row_number window,
+    which would shuffle and sort the full cross product (round-2 verdict
+    perf-weak #4)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = plan_of(sim.ivf_topk(e, q, n_centroids=8, nprobe=2, k=5))
+    assert "partial_min_by" in plan, plan
+
+
+def test_topk_final_rank_is_two_stage(spark):
+    """The per-query ranking must pre-reduce per input partition
+    (spark_partition_id local top-k) so no single reducer ever sorts
+    |corpus| rows (round-2 verdict perf-weak #3)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    for df in (
+        sim.topk_cosine(e, q, k=5),
+        sim.ivf_topk(e, q, n_centroids=8, nprobe=2, k=5),
+        sim.lsh_bucket_topk(e, q, dim=64, k=5, n_planes=4),
+    ):
+        plan = plan_of(df)
+        assert "SPARK_PARTITION_ID" in plan.upper(), plan
+
+
 def test_lsh_join_is_hash_join_on_bucket(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")

@@ -32,7 +32,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tiflow_spark.sources.registry import SchemaVersion, latest_schema
+from tiflow_spark.sources.registry import (
+    SchemaVersion,
+    field_source_name,
+    latest_schema,
+)
 
 
 def _field_expr(
@@ -41,12 +45,16 @@ def _field_expr(
     decoded: dict[int, Column],
     prefix: str = "",
 ) -> Column:
-    """CASE schema_version WHEN v THEN decoded_v.field ... — NULL where the
-    field is not part of version v (the backfill rule)."""
+    """CASE schema_version WHEN v THEN decoded_v.<name-in-v> ... — NULL
+    where the field is not part of version v (the backfill rule). The
+    per-version source name walks the rename chain (a renamed column keeps
+    its old rows' data, schema_storage.go:191-242); the cast absorbs
+    per-version type changes."""
     expr: Column | None = None
     null = F.lit(None).cast(field.dataType)
     for v in registry:
-        val = decoded[v.schema_version][field.name] if field.name in v.field_names else null
+        src = field_source_name(registry, field.name, v)
+        val = decoded[v.schema_version][src].cast(field.dataType) if src else null
         cond = F.col("schema_version") == v.schema_version
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     assert expr is not None
@@ -55,9 +63,11 @@ def _field_expr(
 
 def _is_add_only(registry: list[SchemaVersion]) -> bool:
     """True when each version's fields are a superset of all older versions'
-    (column-add-only evolution — the common case; type changes or drops
-    force the general per-version decode)."""
+    (column-add-only evolution — the common case; type changes, renames, or
+    drops force the general per-version decode)."""
     ordered = sorted(registry, key=lambda v: v.schema_version)
+    if any(v.renames for v in ordered):
+        return False
     for prev, cur in zip(ordered, ordered[1:]):
         prev_fields = {f.name: f.dataType for f in prev.schema.fields}
         cur_fields = {f.name: f.dataType for f in cur.schema.fields}
@@ -149,14 +159,21 @@ def decode_payload_pandas(
         events.schema.fields
         + [T.StructField(prefix + f.name, f.dataType, f.nullable) for f in target.fields]
     )
-    version_fields = {v.schema_version: set(v.field_names) for v in registry}
+    # per-version physical source name of each target field (rename chain;
+    # None = field absent in that version -> NULL backfill)
+    src_names = {
+        v.schema_version: {
+            f.name: field_source_name(registry, f.name, v) for f in target.fields
+        }
+        for v in registry
+    }
     target_fields = [(f.name, f.dataType) for f in target.fields]
 
     def mount(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_cols = {name: pd.Series([None] * len(pdf), dtype="object") for name, _ in target_fields}
             for ver, grp_idx in pdf.groupby("schema_version").groups.items():
-                allowed = version_fields.get(int(ver))
+                srcs = src_names.get(int(ver))
                 payloads = pdf.loc[grp_idx, payload_col]
                 mask = payloads.notna()
                 if not mask.any():
@@ -164,10 +181,11 @@ def decode_payload_pandas(
                 parsed = pd.json_normalize(payloads[mask].map(__import__("json").loads))
                 parsed.index = payloads[mask].index
                 for name, _dtype in target_fields:
-                    if allowed is not None and name not in allowed:
+                    src = srcs.get(name) if srcs is not None else name
+                    if src is None:
                         continue  # backfill: stays NULL for this version
-                    if name in parsed.columns:
-                        out_cols[name].loc[parsed.index] = parsed[name]
+                    if src in parsed.columns:
+                        out_cols[name].loc[parsed.index] = parsed[src]
             res = pdf.copy()
             for name, dtype in target_fields:
                 col = out_cols[name]

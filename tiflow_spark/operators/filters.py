@@ -79,9 +79,18 @@ def binlog_filter_predicate(
     rules: tuple[BinlogFilterRule, ...], table_col: str = "table_name"
 ) -> Column:
     """Keep-column for ordered binlog rules. rlike/isin are Catalyst
-    expressions — the regex runs JVM-side, per row, pushable into the scan."""
+    expressions — the regex runs JVM-side, per row, pushable into the scan.
+
+    Default for an event no rule fully matches (reference
+    filter.go:341): KEEP, unless some 'do' rule's table_regex matches the
+    event's table — the do-whitelist is scoped to the tables it names, so
+    a do-rule on one table must not filter out every other table."""
+    table_has_do: Column = F.lit(False)
+    for r in rules:
+        if r.action == "do":
+            table_has_do = table_has_do | F.col(table_col).rlike(r.table_regex)
+    keep: Column = ~table_has_do
     # fold right-to-left: earlier rules override later ones
-    keep: Column = F.lit(not any(r.action == "do" for r in rules))
     for rule in reversed(rules):
         hit = F.col(table_col).rlike(rule.table_regex)
         if rule.events:
@@ -123,6 +132,46 @@ def route_tables(
             F.col(table_col).rlike(rule.table_regex), F.lit(rule.target)
         ).otherwise(expr)
     return events.withColumn(table_col, expr)
+
+
+@dataclass(frozen=True)
+class OnlineDDLRule:
+    """Online-DDL tool (gh-ost / pt-osc) table choreography — the reference
+    recognizes the ghost/trash table naming and the rename cut-over
+    (/root/reference/dm/syncer/online-ddl-tools/online_ddl.go):
+
+    - trash tables (gh-ost ``_tbl_ghc``/``_tbl_del``, pt-osc ``_tbl_old``):
+      every event dropped;
+    - ghost tables (``_tbl_gho``, pt-osc ``_tbl_new``): DML events dropped —
+      they are the row-copy duplicating the real table's own binlog — while
+      DDL events route to the REAL table (regex capture group 1), which is
+      how the tool's ALTER reaches the downstream at the rename barrier.
+
+    Timing note: the reference memorizes ghost DDLs and applies them at the
+    RENAME; here registering at DDL arrival is equivalent because decode is
+    per-event schema_version — pre-cut-over real-table rows keep carrying
+    the old version, so the new schema is inert until the first post-
+    cut-over DML references it."""
+
+    ghost_regex: str = r"^_(.+)_(?:gho|new)$"
+    trash_regex: str = r"^_(.+)_(?:ghc|del|old)$"
+
+
+def apply_online_ddl(
+    events: DataFrame,
+    rule: OnlineDDLRule = OnlineDDLRule(),
+    table_col: str = "table_name",
+) -> DataFrame:
+    """Filter/route a change stream carrying online-DDL tool tables. Pure
+    Catalyst predicates (rlike + regexp_extract), pushable into the scan."""
+    is_trash = F.col(table_col).rlike(rule.trash_regex)
+    is_ghost = F.col(table_col).rlike(rule.ghost_regex)
+    keep = ~is_trash & ~(is_ghost & (F.col("op") != "DDL"))
+    routed = F.when(
+        is_ghost & (F.col("op") == "DDL"),
+        F.regexp_extract(F.col(table_col), rule.ghost_regex, 1),
+    ).otherwise(F.col(table_col))
+    return events.filter(keep).withColumn(table_col, routed)
 
 
 @dataclass(frozen=True)

@@ -14,6 +14,8 @@ md5-derived 60-bit integer hashing and fixed-point vector quantization
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -241,6 +243,9 @@ def q_cdc_preimage_filter(spark, sf_dir):
     )
 
 
+_PIPELINE_ROOTS: dict[str, str] = {}
+
+
 def q_cdc_pipeline_snapshot(spark, sf_dir):
     """The REAL engine path end-to-end: raw payload-bearing change events →
     frontier observation → LWW reduce → versioned decode → CowTable.merge
@@ -252,7 +257,14 @@ def q_cdc_pipeline_snapshot(spark, sf_dir):
 
     ce = change_events_payload(spark, sf_dir)
     registry = _pipeline_registry()
-    root = tempfile.mkdtemp(prefix="tiflow_pipeline_q_")
+    # one scratch root per process+sf, rebuilt in place on re-invocation and
+    # removed at exit — repeated harness calls must not leak table dirs
+    root = _PIPELINE_ROOTS.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="tiflow_pipeline_q_")
+        _PIPELINE_ROOTS[sf_dir] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
     table = CowTable(
         spark, root, n_buckets=16,
         data_schema={"role": "string", "text": "string", "tool": "string"},
@@ -728,7 +740,7 @@ ORACLES = {
       WITH ce AS ({CE_SQL})
       SELECT start_ts, commit_ts, count(*) AS n_rows,
              count(DISTINCT conv_id) AS n_convs,
-             sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+             CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
       FROM ce GROUP BY 1, 2
     """,
     "cdc_update_split": f"""

@@ -44,6 +44,8 @@ def apply_epoch(
     batch_id: int,
     decoder: str = "jvm",
     strict_frontier: bool = False,
+    version_gate: int | None = None,
+    manifest_extra: dict | None = None,
 ) -> EpochResult:
     """Process one microbatch of raw change events into the table.
 
@@ -59,7 +61,15 @@ def apply_epoch(
     when the frontier passes them — readers never observe a row above the
     watermark. The default (False) applies everything immediately: the
     version-conditional merge makes that equally convergent, at the cost of
-    transiently exposing above-watermark rows (documented deviation)."""
+    transiently exposing above-watermark rows (documented deviation).
+
+    ``version_gate`` is the sharding-DDL pessimistic barrier (reference
+    /root/reference/dm/pkg/shardddl/pessimism/lock.go): events whose
+    schema_version exceeds it are withheld to the pending store until every
+    routed shard has executed the DDL — the streaming runner computes the
+    gate as min over shards of each shard's delivered schema_version.
+    ``manifest_extra`` rides the epoch's atomic manifest commit (the runner
+    persists shard frontiers there, restart-safe)."""
     # the sink pipeline never reads the old-value image (pre-image consumers
     # — old-image filters, key-change splitting — run upstream); carrying
     # pre_payload through the LWW shuffle costs real bytes (measured: the
@@ -68,8 +78,19 @@ def apply_epoch(
         batch = batch.drop("pre_payload")
     ev = with_op_order(batch)
 
-    if strict_frontier:
-        return _apply_epoch_strict(table, registry, ev, batch_id, decoder)
+    if strict_frontier or version_gate is not None:
+        return _apply_epoch_fenced(
+            table, registry, ev, batch_id, decoder,
+            strict_frontier=strict_frontier, version_gate=version_gate,
+            manifest_extra=manifest_extra,
+        )
+
+    # a non-strict epoch on a table holding a pending store (a strict feed
+    # restarted with strict_frontier=False) drains it: the withheld events
+    # re-enter this epoch's LWW and the reference is cleared in the same
+    # manifest commit (otherwise merge carries it forward untouched)
+    manifest_extra = dict(manifest_extra or {})
+    prev_pending = table.read_pending()
 
     # frontier + lineage as a SEPARATE tiny job: the scan projects only
     # (source_partition, commit_ts) — parquet column pruning makes it ~1% of
@@ -82,6 +103,15 @@ def apply_epoch(
         for r in partition_frontiers(batch).collect()
     ]
     resolved = min((r[2] for r in lineage_rows), default=None)
+
+    if prev_pending is not None and lineage_rows:
+        # pending events were lineage-counted by the epoch that withheld
+        # them — fold them into the LWW only, and clear the reference
+        dp = prev_pending.drop(
+            *[c for c in ("pre_payload", "op_order") if c in prev_pending.columns]
+        )
+        ev = ev.unionByName(with_op_order(dp), allowMissingColumns=True)
+        manifest_extra["pending"] = None
 
     # persist the reduced rows BEFORE decoding: projecting from_json onto
     # the aggregate output folds the decode into the aggregate's result
@@ -99,24 +129,37 @@ def apply_epoch(
         stats = table.merge(
             dec, batch_id, resolved_ts=resolved, lineage_rows=lineage_rows,
             pre_reduced=True, affected_buckets=affected,
+            manifest_extra=manifest_extra,
         )
     finally:
         net.unpersist()
     return EpochResult(stats=stats, resolved_ts=resolved)
 
 
-def _apply_epoch_strict(
+def _apply_epoch_fenced(
     table: CowTable,
     registry: list[SchemaVersion],
     ev: DataFrame,
     batch_id: int,
     decoder: str,
+    strict_frontier: bool = True,
+    version_gate: int | None = None,
+    manifest_extra: dict | None = None,
 ) -> EpochResult:
-    """Commit-fenced epoch: split (new events ∪ previous pending) at the NEW
-    global watermark; apply the ready half, persist the rest as the next
-    pending generation, commit both references in one atomic manifest swap.
-    Pending holds at most one frontier-lag of events (bounded by the source
-    contract, kv.go:58-66); it is rewritten whole each epoch and old
+    """Fenced epoch: split (new events ∪ previous pending) at the active
+    gates; apply the ready half, persist the rest as the next pending
+    generation, commit both references in one atomic manifest swap.
+
+    Gates compose:
+    - strict_frontier: commit_ts must be at or below the NEW global
+      watermark (reference engine.go:103-113 commit fence);
+    - version_gate: schema_version must be at or below the sharding-DDL
+      barrier (reference dm/pkg/shardddl/pessimism — post-DDL shard rows
+      wait until every shard executed the DDL).
+
+    Pending holds at most one gate-lag of events (bounded by the source
+    contract for the frontier gate, and by one DDL's worth of shard skew
+    for the version gate); it is rewritten whole each epoch and old
     generations are vacuumed."""
     from pyspark.sql import functions as F
 
@@ -130,8 +173,19 @@ def _apply_epoch_strict(
     _, resolved = CowTable._advance_frontiers(table.current_manifest(), lineage_rows)
 
     prev_pending = table.read_pending()
-    full = ev.unionByName(with_op_order(prev_pending)) if prev_pending is not None else ev
-    gate = F.col("commit_ts") <= F.lit(resolved if resolved is not None else -1)
+    full = (
+        ev.unionByName(with_op_order(prev_pending), allowMissingColumns=True)
+        if prev_pending is not None
+        else ev
+    )
+    gate = F.lit(True)
+    if strict_frontier:
+        gate = gate & (F.col("commit_ts") <= F.lit(resolved if resolved is not None else -1))
+    if version_gate is not None:
+        gate = gate & (
+            F.col("schema_version").isNull()
+            | (F.col("schema_version") <= F.lit(version_gate))
+        )
     # pending written BEFORE the manifest that references it (crash-safe:
     # orphans are vacuumed); drop op_order — it is recomputed on re-entry
     pending_rel = table.write_pending(full.filter(~gate).drop("op_order"), batch_id)
@@ -144,7 +198,7 @@ def _apply_epoch_strict(
         stats = table.merge(
             decode(net, registry), batch_id, resolved_ts=resolved,
             lineage_rows=lineage_rows, pre_reduced=True, affected_buckets=affected,
-            manifest_extra={"pending": pending_rel},
+            manifest_extra={**(manifest_extra or {}), "pending": pending_rel},
         )
     finally:
         net.unpersist()

@@ -50,7 +50,14 @@ def open_protocol_encode(
     table: str = "transcripts",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
-    """(key, value) message pair per event (open/codec key/value layout)."""
+    """(key, value) message pair per event (open/codec key/value layout).
+
+    Beyond the reference's key fields {ts, tbl, t}, the key carries
+    ``sts`` (start_ts) and ``op``: the engine's LWW total order tie-breaks
+    on (commit_ts, start_ts, D<U<I), so a replayed stream that lost either
+    could resolve same-commit-ts events to a different winner than the
+    source table. The reference's open protocol doesn't need them (MySQL
+    sink applies in txn order); a set-wise replay does."""
     data = F.struct(
         *[F.col(c) for c in key_cols],
         *[F.col(c) for c in _data_cols(decoded, key_cols)],
@@ -61,6 +68,8 @@ def open_protocol_encode(
     key = F.to_json(
         F.struct(
             F.col("commit_ts").alias("ts"),
+            F.col("start_ts").alias("sts"),
+            F.col("op").alias("op"),
             F.lit(table).alias("tbl"),
             F.lit(1).alias("t"),
         )
@@ -72,8 +81,9 @@ def open_protocol_decode(
     frame: DataFrame, value_schema: T.StructType,
 ) -> DataFrame:
     """Inverse of ``open_protocol_encode``: back to change rows (op,
-    commit_ts, data cols)."""
-    key_t = "ts LONG, tbl STRING, t INT"
+    commit_ts, start_ts, data cols) — complete enough for the replayed
+    stream's LWW to resolve identically to the source."""
+    key_t = "ts LONG, sts LONG, op STRING, tbl STRING, t INT"
     val_t = T.StructType(
         [T.StructField("u", value_schema), T.StructField("d", value_schema)]
     )
@@ -81,8 +91,14 @@ def open_protocol_decode(
     v = F.from_json("value", val_t)
     row = F.coalesce(v["u"], v["d"])
     return frame.select(
-        F.when(v["d"].isNotNull(), "D").otherwise(F.lit("U")).alias("op"),
+        # delete is authoritative from the value envelope; I-vs-U from the
+        # key (older messages without it decode as 'U' — safe: the merge
+        # treats both as upserts, only the op_order tie-break coarsens)
+        F.when(v["d"].isNotNull(), "D")
+        .otherwise(F.coalesce(k["op"], F.lit("U")))
+        .alias("op"),
         k["ts"].alias("commit_ts"),
+        k["sts"].alias("start_ts"),
         *[row[f.name].alias(f.name) for f in value_schema.fields],
     )
 

@@ -67,6 +67,15 @@ from tiflow_spark.operators.frontier import partition_frontiers
 KEY_COLS = ("conv_id", "turn_idx")
 VERSION_COLS = ("__commit_ts", "__start_ts", "__op_order")
 
+# Change-event envelope columns a merge batch may carry besides key/data.
+ENVELOPE_COLS = frozenset(
+    {
+        "op", "op_order", "commit_ts", "start_ts", "schema_version",
+        "source_partition", "payload", "pre_payload", "bucket", "table_name",
+        "__shard",
+    }
+)
+
 # Default table shape: conversation transcripts (BASELINE.json input_hint).
 DEFAULT_KEY_SCHEMA = {"conv_id": "string", "turn_idx": "int"}
 DEFAULT_DATA_SCHEMA = {"role": "string", "text": "string", "tool": "string", "ts": "timestamp"}
@@ -211,7 +220,11 @@ class CowTable:
         df = self._read_buckets(manifest, [int(b) for b in manifest["buckets"]])
         if df is None:
             df = self.spark.createDataFrame([], self._empty_schema())
-        df = self._with_all_data_cols(df)
+        # project to the CURRENT schema: bucket files written before a
+        # column DROP still carry it (mergeSchema) — the snapshot must not
+        df = self._with_all_data_cols(df).select(
+            *self.key_cols, *self.data_cols, *VERSION_COLS, "__deleted"
+        )
         if include_tombstones:
             return df
         return df.filter(~F.col("__deleted")).drop(*VERSION_COLS, "__deleted")
@@ -250,6 +263,27 @@ class CowTable:
             # epoch fence (progress_tracker/changefeed checkpoint analog)
             return MergeStats(batch_id=batch_id, skipped=True)
 
+        # fail loudly on decoded columns the sink schema doesn't know —
+        # silently dropping them loses data a DDL added (the reference's
+        # DDL sink executes the DDL downstream before such rows arrive,
+        # /root/reference/cdc/owner/ddl_manager.go:508-583). The streaming
+        # runner evolves data_schema from the registry at the DDL barrier;
+        # a direct caller must pre-declare or project.
+        # "_"-prefixed columns are engine-internal (lww's _n_events, salt
+        # working columns); pre_* is the decoded old image — neither is data
+        unknown = [
+            c for c in batch.columns
+            if c not in ENVELOPE_COLS and c not in self.key_cols
+            and c not in self.data_schema
+            and not c.startswith(("pre_", "_"))
+        ]
+        if unknown:
+            raise ValueError(
+                f"merge batch carries column(s) {unknown} outside the sink "
+                f"schema {sorted(self.data_schema)} — evolve data_schema "
+                "(data_schema_from_registry) or project them out explicitly"
+            )
+
         if lineage_rows is None:
             frontiers = partition_frontiers(batch).collect()
             lineage_rows = [
@@ -259,6 +293,15 @@ class CowTable:
         new_frontiers, frontier_resolved = self._advance_frontiers(manifest, lineage_rows)
         batch_resolved = resolved_ts if resolved_ts is not None else frontier_resolved
         n_events = int(sum(r[3] for r in lineage_rows))
+
+        # a pending reference (strict-frontier withheld events) carries
+        # forward unless the caller explicitly replaces it: a non-strict
+        # merge (bootstrap, direct merge, restart with strict_frontier=False)
+        # must not orphan the pending dir — the next vacuum would delete it
+        # and the withheld events would be lost un-applied
+        extra = dict(manifest_extra or {})
+        if "pending" not in extra and manifest.get("pending"):
+            extra["pending"] = manifest["pending"]
 
         def commit(buckets: dict[str, str], applied: int, n_affected: int) -> MergeStats:
             self._commit_manifest(
@@ -274,7 +317,7 @@ class CowTable:
                     "applied_events": applied,
                     # lineage rides the SAME atomic rename as the merge
                     "lineage": [list(r) for r in lineage_rows],
-                    **(manifest_extra or {}),
+                    **extra,
                 }
             )
             if self.auto_vacuum_keep is not None:

@@ -43,10 +43,35 @@ class SchemaVersion:
     schema_version: int
     active_from_ts: int
     schema: T.StructType
+    # column renames applied AT this version, as (new_name, old_name) pairs
+    # — the mounter resolves a row's physical field name per version through
+    # the rename chain, so renamed columns keep their data (the reference
+    # keys row data by column ID, schema_storage.go:191-242; JSON payloads
+    # are by-name, so the chain is the ID analog). Drops need no annotation:
+    # a field absent from a later schema simply stops being decoded.
+    renames: tuple = ()
 
     @property
     def field_names(self) -> tuple[str, ...]:
         return tuple(f.name for f in self.schema.fields)
+
+
+def field_source_name(
+    registry: list[SchemaVersion], field_name: str, version: SchemaVersion
+) -> str | None:
+    """The physical payload-field name that ``field_name`` (a field of the
+    LATEST schema) had in ``version`` — walking rename chains backward from
+    newest to ``version`` — or None when the field does not exist there
+    (added later: NULL backfill)."""
+    name = field_name
+    for v in sorted(registry, key=lambda v: -v.schema_version):
+        if v.schema_version <= version.schema_version:
+            break
+        for new, old in v.renames:
+            if name == new:
+                name = old
+                break
+    return name if name in version.field_names else None
 
 
 def default_registry(ddl_ts: int) -> list[SchemaVersion]:
@@ -72,31 +97,56 @@ def resolve_version_at(registry: list[SchemaVersion], commit_ts: int) -> SchemaV
 
 def save_registry(spark: SparkSession, registry: list[SchemaVersion], path: str) -> None:
     rows = [
-        (v.schema_version, v.active_from_ts, v.schema.json()) for v in registry
+        (
+            v.schema_version,
+            v.active_from_ts,
+            v.schema.json(),
+            json.dumps([list(p) for p in v.renames]),
+        )
+        for v in registry
     ]
-    schema = "schema_version LONG, active_from_ts LONG, schema_json STRING"
+    schema = (
+        "schema_version LONG, active_from_ts LONG, schema_json STRING, "
+        "renames_json STRING"
+    )
     spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def load_registry(spark: SparkSession, path: str) -> list[SchemaVersion]:
-    rows = spark.read.parquet(path).collect()
+    df = spark.read.parquet(path)
+    has_renames = "renames_json" in df.columns  # pre-rename registries
     return sorted(
         (
             SchemaVersion(
                 r["schema_version"],
                 r["active_from_ts"],
                 T.StructType.fromJson(json.loads(r["schema_json"])),
+                renames=tuple(
+                    tuple(p) for p in json.loads(r["renames_json"] or "[]")
+                )
+                if has_renames
+                else (),
             )
-            for r in rows
+            for r in df.collect()
         ),
         key=lambda v: v.schema_version,
     )
 
 
 def registry_df(spark: SparkSession, registry: list[SchemaVersion]) -> DataFrame:
-    rows = [(v.schema_version, v.active_from_ts, v.schema.json()) for v in registry]
+    rows = [
+        (
+            v.schema_version,
+            v.active_from_ts,
+            v.schema.json(),
+            json.dumps([list(p) for p in v.renames]),
+        )
+        for v in registry
+    ]
     return spark.createDataFrame(
-        rows, "schema_version LONG, active_from_ts LONG, schema_json STRING"
+        rows,
+        "schema_version LONG, active_from_ts LONG, schema_json STRING, "
+        "renames_json STRING",
     )
 
 

@@ -101,6 +101,17 @@ class Changefeed:
     table_col: str = "table_name"
     # DM shard-merge routing: applied to table_name before table dispatch
     route_rules: tuple | None = None
+    # sharding-DDL pessimistic barrier (dm/pkg/shardddl/pessimism/lock.go):
+    # when route_rules merge N shards into one target, rows whose
+    # schema_version exceeds min-over-shards(delivered version) are withheld
+    # to the target's pending store until every shard executed the DDL.
+    # Per-shard version frontiers persist in the target's manifest.
+    shard_ddl_barrier: bool = True
+    _shard_vers: dict = field(default_factory=dict)  # target -> {shard: ver}
+    # online-DDL tool (gh-ost/pt-osc) handling: drop trash-table events and
+    # ghost-table DMLs, route ghost-table DDLs to the real table (see
+    # operators/filters.apply_online_ddl). Multi-table feeds only.
+    online_ddl: bool = False
     event_schema: T.StructType | None = None
     batch_log: list = field(default_factory=list)  # (batch_id, [name,] MergeStats)
 
@@ -132,16 +143,23 @@ class Changefeed:
             ver = int(r["schema_version"])
             if ver in known:
                 continue  # at-least-once redelivery of the DDL event
-            new = SchemaVersion(
-                ver, int(r["commit_ts"]) + 1, T.StructType.fromJson(json.loads(r["payload"]))
-            )
+            parsed = json.loads(r["payload"])
+            if "schema" in parsed and "type" not in parsed:
+                # extended DDL payload: {"schema": <struct json>,
+                # "renames": [[new, old], ...]} — RENAME COLUMN carries the
+                # mapping so renamed columns keep pre-DDL rows' data
+                sch = T.StructType.fromJson(parsed["schema"])
+                renames = tuple(tuple(p) for p in parsed.get("renames", []))
+            else:
+                sch = T.StructType.fromJson(parsed)
+                renames = ()
+            new = SchemaVersion(ver, int(r["commit_ts"]) + 1, sch, renames=renames)
             if self.registry_path is not None:
                 from tiflow_spark.sources.registry import add_version
 
                 registry = add_version(self.spark, self.registry_path, new)
             else:
                 registry = sorted(registry + [new], key=lambda v: v.schema_version)
-                self.registry = registry
             known.add(ver)
         missing = {int(v) for v in meta["versions"] if v is not None} - known
         if missing:
@@ -153,6 +171,51 @@ class Changefeed:
             )
         return registry, batch.filter(F.col("op") != "DDL")
 
+    def _evolve_sink_schema(
+        self, table: CowTable, registry: list[SchemaVersion]
+    ) -> None:
+        """Sink-side DDL execution (ddl_manager.go:508-583 + the MySQL DDL
+        sink analog): when the registry is the feed's source of schema truth
+        (in-stream DDLs or a reloaded registry_path), the sink's column set
+        follows the post-barrier registry — an added column lands in the
+        very epoch its DDL arrived, a dropped one leaves the snapshot.
+        Static-registry feeds keep the constructed data_schema (the caller
+        owns it: projection sinks stay possible, and merge fails loudly on
+        a mismatch instead of dropping data)."""
+        if not (self.ddl_in_stream or self.registry_path is not None):
+            return
+        from tiflow_spark.sinks.cow_table import data_schema_from_registry
+
+        new_schema = data_schema_from_registry(registry)
+        if new_schema != table.data_schema:
+            table.data_schema = new_schema
+
+    def _shard_barrier(
+        self, name: str, tbl: CowTable, shard_maxima: list | None
+    ) -> tuple[int | None, dict | None]:
+        """Advance this target's per-shard schema_version frontiers with the
+        current batch and return (version_gate, manifest_extra). The gate —
+        min over shards of the highest version each shard has delivered —
+        is the pessimistic shard-DDL lock's effect: a post-DDL row waits
+        until the slowest shard has executed the same DDL. None until a
+        second shard appears (a single-shard target needs no coordination).
+        Frontiers are carried in the target's manifest (restart-safe) and
+        only ever advance."""
+        if shard_maxima is None:
+            return None, None
+        if name not in self._shard_vers:
+            self._shard_vers[name] = {
+                k: int(v)
+                for k, v in tbl.current_manifest().get("shard_vers", {}).items()
+            }
+        state = self._shard_vers[name]
+        for r in shard_maxima:
+            if r[self.table_col] == name and r["v"] is not None:
+                shard = str(r["__shard"])
+                state[shard] = max(state.get(shard, 0), int(r["v"]))
+        gate = min(state.values()) if len(state) > 1 else None
+        return gate, {"shard_vers": dict(state)}
+
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
@@ -160,22 +223,54 @@ class Changefeed:
                 registry = self._current_registry()
                 if self.ddl_in_stream:
                     registry, batch_dml = self._apply_ddls(batch, registry)
+                    if self.registry_path is None:
+                        self.registry = registry
                 else:
                     batch_dml = batch
+                self._evolve_sink_schema(self.table, registry)
                 res = apply_epoch(
                     self.table, registry, batch_dml, int(batch_id),
                     decoder=self.decoder, strict_frontier=self.strict_frontier,
                 )
                 self.batch_log.append((int(batch_id), res.stats))
             else:
+                if self.online_ddl:
+                    from tiflow_spark.operators.filters import apply_online_ddl
+
+                    batch = apply_online_ddl(batch, table_col=self.table_col)
+                shard_maxima = None
                 if self.route_rules:
                     from tiflow_spark.operators.filters import route_tables
 
+                    # remember the pre-route (shard) name — the sharding-DDL
+                    # barrier tracks each shard's delivered schema_version
+                    batch = batch.withColumn("__shard", F.col(self.table_col))
                     batch = route_tables(batch, self.route_rules, self.table_col)
+                    if self.shard_ddl_barrier:
+                        # one tiny agg over the persisted batch: per (target,
+                        # shard) max delivered version (DDL rows included —
+                        # a shard "executes" the DDL when its event arrives)
+                        shard_maxima = (
+                            batch.groupBy(self.table_col, "__shard")
+                            .agg(F.max("schema_version").alias("v"))
+                            .collect()
+                        )
                 for name in sorted(self.tables):
                     tbl, reg = self.tables[name]
                     sub = batch.filter(F.col(self.table_col) == name)
-                    res = apply_epoch(tbl, reg, sub, int(batch_id), decoder=self.decoder)
+                    if self.ddl_in_stream:
+                        # per-table DDL barrier: register this table's DDLs
+                        # against ITS registry, then drop the DDL rows so
+                        # they never reach the LWW as null-key rows
+                        reg, sub = self._apply_ddls(sub, reg)
+                        self.tables[name] = (tbl, reg)
+                    self._evolve_sink_schema(tbl, reg)
+                    version_gate, extra = self._shard_barrier(name, tbl, shard_maxima)
+                    res = apply_epoch(
+                        tbl, reg, sub, int(batch_id), decoder=self.decoder,
+                        strict_frontier=self.strict_frontier,
+                        version_gate=version_gate, manifest_extra=extra,
+                    )
                     self.batch_log.append((int(batch_id), name, res.stats))
         finally:
             batch.unpersist()
@@ -261,6 +356,8 @@ class Changefeed:
                 registry = self._current_registry()
                 if self.ddl_in_stream:
                     registry, batch_dml = self._apply_ddls(batch, registry)
+                    if self.registry_path is None:
+                        self.registry = registry
                 else:
                     batch_dml = batch
                 frame = encode_for_mq(
