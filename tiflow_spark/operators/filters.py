@@ -134,6 +134,24 @@ def route_tables(
     return events.withColumn(table_col, expr)
 
 
+def bdr_filter(
+    events: DataFrame, local_origin: int, origin_col: str = "origin"
+) -> DataFrame:
+    """BDR-mode loop prevention (/root/reference/cdc/model/changefeed.go
+    BDRMode; the reference skips rows written by TiCDC itself when both
+    clusters replicate into each other). Rows a replication sink applied
+    carry the SOURCE cluster's id in ``origin_col``; locally-originated
+    writes carry NULL (or the local id). A changefeed out of this cluster
+    replicates only local writes — a row can never ping-pong A→B→A.
+
+    The sink side of the contract: when applying a remote batch, stamp
+    ``origin_col`` with the remote cluster id (one literal column on the
+    decoded frame) so the local binlog reflects it."""
+    return events.filter(
+        F.col(origin_col).isNull() | (F.col(origin_col) == F.lit(local_origin))
+    )
+
+
 @dataclass(frozen=True)
 class OnlineDDLRule:
     """Online-DDL tool (gh-ost / pt-osc) table choreography — the reference

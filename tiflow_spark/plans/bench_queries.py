@@ -296,6 +296,118 @@ def q_cdc_op_order(spark, sf_dir):
     return ce.select("conv_id", "turn_idx", "commit_ts", "op", "op_order")
 
 
+# Deterministic multi-table view for the DM-facing queries (binlog filter,
+# routing, online-DDL, BDR): change-event envelope with the generator ids
+# retained so table_name/origin derive deterministically. In lockstep with
+# CE_IDS_SQL below.
+def change_events_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    commit_ts = (F.col("event_id") * 37) % 1_000_000
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 10 < 5, "U")
+        .when(F.col("event_id") % 10 < 9, "I")
+        .otherwise("D")
+        .alias("op"),
+        commit_ts.alias("commit_ts"),
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 25).cast("int").alias("turn_idx"),
+    )
+
+
+CE_IDS_SQL = """
+  SELECT event_id, user_id,
+    CASE WHEN event_id % 10 < 5 THEN 'U'
+         WHEN event_id % 10 < 9 THEN 'I' ELSE 'D' END AS op,
+    (event_id * 37) % 1000000 AS commit_ts,
+    'c' || CAST(user_id AS VARCHAR) AS conv_id,
+    CAST(event_id % 25 AS INT) AS turn_idx
+  FROM events
+"""
+
+_TABLE_NAME_EXPR = (
+    "CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'app_users' "
+    "WHEN 1 THEN 'app_logs' WHEN 2 THEN 'tmp_scratch' ELSE 'audit' END"
+)
+
+
+def q_cdc_binlog_filter(spark, sf_dir):
+    """DM binlog filter with reference-correct defaults (filter.go:341):
+    ordered rules; a table matched by no rule is kept; a do-rule's
+    whitelist is scoped to the tables its regex matches."""
+    from tiflow_spark.operators.filters import BinlogFilterRule, apply_binlog_filter
+
+    ce = change_events_ids(spark, sf_dir).withColumn(
+        "table_name", F.expr(_TABLE_NAME_EXPR)
+    )
+    rules = (
+        BinlogFilterRule(table_regex="^app_.*", events=frozenset({"D"})),
+        BinlogFilterRule(table_regex="^tmp_.*"),
+        BinlogFilterRule(
+            table_regex="^app_logs$", events=frozenset({"I"}), action="do"
+        ),
+    )
+    return apply_binlog_filter(ce, rules).select(
+        "op", "conv_id", "turn_idx", "commit_ts", "table_name"
+    )
+
+
+def q_cdc_route_tables(spark, sf_dir):
+    """DM shard-merge routing: chats_<n> shards collapse to one target."""
+    from tiflow_spark.operators.filters import RouteRule, route_tables
+
+    ce = change_events_ids(spark, sf_dir).withColumn(
+        "table_name",
+        F.expr(
+            "CASE WHEN user_id % 2 = 0 THEN 'chats_' || CAST(user_id % 3 AS STRING) "
+            "ELSE 'audit' END"
+        ),
+    )
+    routed = route_tables(ce, (RouteRule(table_regex="^chats_.*", target="chats"),))
+    return routed.groupBy("table_name", "op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def q_cdc_online_ddl(spark, sf_dir):
+    """gh-ost choreography over a synthetic mixed log: trash-table events
+    drop, ghost DMLs drop (they duplicate the real table's binlog), ghost
+    DDLs route to the real table."""
+    from tiflow_spark.operators.filters import apply_online_ddl
+
+    ce = change_events_ids(spark, sf_dir).select(
+        F.expr("CASE WHEN event_id % 11 = 0 THEN 'DDL' ELSE op END").alias("op"),
+        "conv_id", "turn_idx", "commit_ts",
+        F.expr(
+            "CASE CAST(user_id % 5 AS INT) WHEN 0 THEN '_chats_gho' "
+            "WHEN 1 THEN '_chats_ghc' WHEN 2 THEN '_chats_del' "
+            "ELSE 'chats' END"
+        ).alias("table_name"),
+    )
+    return apply_online_ddl(ce).select(
+        "op", "conv_id", "turn_idx", "commit_ts", "table_name"
+    )
+
+
+def q_cdc_bdr_filter(spark, sf_dir):
+    """BDR-mode loop prevention: only locally-originated writes leave the
+    cluster (origin NULL or the local id)."""
+    from tiflow_spark.operators.filters import bdr_filter
+
+    ce = change_events_ids(spark, sf_dir).withColumn(
+        "origin",
+        F.expr(
+            "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN NULL "
+            "WHEN 1 THEN 1 ELSE 2 END"
+        ).cast("int"),
+    )
+    return bdr_filter(ce, local_origin=1).select(
+        "op", "conv_id", "turn_idx", "commit_ts", "origin"
+    )
+
+
 # ------------------------------------------------------------- text queries
 
 def q_text_stats(spark, sf_dir):
@@ -443,6 +555,10 @@ QUERIES = {
     "cdc_pipeline_snapshot": q_cdc_pipeline_snapshot,
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
+    "cdc_binlog_filter": q_cdc_binlog_filter,
+    "cdc_route_tables": q_cdc_route_tables,
+    "cdc_online_ddl": q_cdc_online_ddl,
+    "cdc_bdr_filter": q_cdc_bdr_filter,
     "text_stats": q_text_stats,
     "text_bpe": q_text_bpe,
     "text_quality": q_text_quality,
@@ -773,6 +889,59 @@ ORACLES = {
     "cdc_op_order": f"""
       WITH ce AS ({CE_SQL})
       SELECT conv_id, turn_idx, commit_ts, op, {OP_ORDER_SQL} AS op_order FROM ce
+    """,
+    # ordered binlog rules: (1) ignore D on app_*, (2) ignore all tmp_*,
+    # (3) do I on app_logs; first full match decides; a table no rule
+    # matches is kept; the do-whitelist is scoped to tables its regex hits
+    "cdc_binlog_filter": f"""
+      WITH ce AS ({CE_IDS_SQL}),
+      t AS (SELECT *, {_TABLE_NAME_EXPR} AS table_name FROM ce)
+      SELECT op, conv_id, turn_idx, commit_ts, table_name FROM t
+      WHERE CASE
+        WHEN regexp_matches(table_name, '^app_.*') AND op = 'D' THEN FALSE
+        WHEN regexp_matches(table_name, '^tmp_.*') THEN FALSE
+        WHEN regexp_matches(table_name, '^app_logs$') AND op = 'I' THEN TRUE
+        WHEN regexp_matches(table_name, '^app_logs$') THEN FALSE
+        ELSE TRUE END
+    """,
+    "cdc_route_tables": f"""
+      WITH ce AS ({CE_IDS_SQL}),
+      t AS (SELECT *,
+        CASE WHEN user_id % 2 = 0 THEN 'chats_' || CAST(user_id % 3 AS VARCHAR)
+             ELSE 'audit' END AS tn FROM ce),
+      r AS (SELECT *,
+        CASE WHEN regexp_matches(tn, '^chats_.*') THEN 'chats' ELSE tn END
+          AS table_name FROM t)
+      SELECT table_name, op, count(*) AS n_events,
+             count(DISTINCT conv_id) AS n_convs
+      FROM r GROUP BY 1, 2
+    """,
+    "cdc_online_ddl": f"""
+      WITH ce AS ({CE_IDS_SQL}),
+      t AS (SELECT
+        CASE WHEN event_id % 11 = 0 THEN 'DDL' ELSE op END AS op,
+        conv_id, turn_idx, commit_ts,
+        CASE CAST(user_id % 5 AS INT) WHEN 0 THEN '_chats_gho'
+             WHEN 1 THEN '_chats_ghc' WHEN 2 THEN '_chats_del'
+             ELSE 'chats' END AS table_name
+        FROM ce)
+      SELECT op, conv_id, turn_idx, commit_ts,
+             CASE WHEN regexp_matches(table_name, '^_(.+)_(?:gho|new)$')
+                       AND op = 'DDL'
+                  THEN regexp_extract(table_name, '^_(.+)_(?:gho|new)$', 1)
+                  ELSE table_name END AS table_name
+      FROM t
+      WHERE NOT regexp_matches(table_name, '^_(.+)_(?:ghc|del|old)$')
+        AND NOT (regexp_matches(table_name, '^_(.+)_(?:gho|new)$')
+                 AND op <> 'DDL')
+    """,
+    "cdc_bdr_filter": f"""
+      WITH ce AS ({CE_IDS_SQL}),
+      t AS (SELECT *,
+        CAST(CASE CAST(event_id % 3 AS INT) WHEN 0 THEN NULL
+             WHEN 1 THEN 1 ELSE 2 END AS INT) AS origin FROM ce)
+      SELECT op, conv_id, turn_idx, commit_ts, origin FROM t
+      WHERE origin IS NULL OR origin = 1
     """,
     "text_stats": f"""
       SELECT doc_id,

@@ -105,19 +105,30 @@ def open_protocol_decode(
 
 # ---------------------------------------------------------------- csv codec
 
+def _csv_field(col: Column) -> Column:
+    """RFC-4180 quoting (reference pkg/sink/codec/csv quotes data fields):
+    a field containing a delimiter, quote, or newline is wrapped in double
+    quotes with inner quotes doubled. NULL encodes as unquoted \\N; data
+    that IS of the form \\N (any backslash run + N) gains one extra
+    backslash — the CSV parser applies nullValue even to quoted fields, so
+    quoting alone cannot disambiguate (decode strips the backslash back)."""
+    s = col.cast("string")
+    s = F.when(s.rlike(r"^\\+N$"), F.concat(F.lit("\\"), s)).otherwise(s)
+    needs = s.contains(",") | s.contains('"') | s.contains("\n") | s.contains("\r")
+    quoted = F.concat(F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"'))
+    return F.coalesce(F.when(needs, quoted).otherwise(s), F.lit(r"\N"))
+
+
 def csv_encode(
     decoded: DataFrame,
     table: str = "transcripts",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
     """One CSV line per event: op-flag, table, commit-ts, then key+data
-    columns in schema order (csv/csv_message.go layout). NULL encodes as
-    the reference's \\N marker."""
+    columns in schema order (csv/csv_message.go layout)."""
     cols = [*key_cols, *_data_cols(decoded, key_cols)]
     fields = [F.col("op"), F.lit(table), F.col("commit_ts").cast("string")]
-    fields += [
-        F.coalesce(F.col(c).cast("string"), F.lit(r"\N")) for c in cols
-    ]
+    fields += [_csv_field(F.col(c)) for c in cols]
     return decoded.select(F.concat_ws(",", *fields).alias("line"))
 
 
@@ -125,18 +136,27 @@ def csv_decode(
     frame: DataFrame, schema: T.StructType,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
-    """Inverse of ``csv_encode`` for the simple (no quoted comma) case."""
-    parts = F.split("line", ",")
+    """Inverse of ``csv_encode``. Parsing is Spark's native univocity CSV
+    reader via ``from_csv`` (JVM, vectorized) configured for the encoder's
+    RFC-4180 quoting — data containing commas, quotes, or newlines
+    round-trips (round-2 gap: a bare split broke on any quoted comma)."""
     names = [f.name for f in schema.fields]
+    parse_schema = ", ".join(
+        ["op STRING", "table_name STRING", "commit_ts STRING"]
+        + [f"{n} STRING" for n in names]
+    )
+    opts = {"quote": '"', "escape": '"', "nullValue": r"\N"}
+    p = F.from_csv("line", parse_schema, opts)
     out = [
-        parts[0].alias("op"),
-        parts[1].alias("table_name"),
-        parts[2].cast("long").alias("commit_ts"),
+        p["op"].alias("op"),
+        p["table_name"].alias("table_name"),
+        p["commit_ts"].cast("long").alias("commit_ts"),
     ]
-    for i, name in enumerate(names):
-        raw = parts[3 + i]
-        typed = F.when(raw == r"\N", F.lit(None)).otherwise(raw)
-        out.append(typed.cast(schema[name].dataType).alias(name))
+    for name in names:
+        v = p[name]
+        # undo the \N backslash-stuffing (see _csv_field)
+        v = F.when(v.rlike(r"^\\+N$"), v.substr(F.lit(2), F.length(v))).otherwise(v)
+        out.append(v.cast(schema[name].dataType).alias(name))
     return frame.select(*out)
 
 
