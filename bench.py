@@ -105,6 +105,51 @@ def run_cdc_stream(spark, n_convs: int, workdir: str) -> dict:
     }
 
 
+def run_cdc_stream_keylocal(spark, n_convs: int, workdir: str) -> dict:
+    """Bucket-pruning evidence (round-2 verdict #9): epochs carry contiguous
+    conv-id ranges and the table range-buckets on the same ranges, so each
+    epoch's merge touches ~n_buckets/n_groups buckets instead of all of
+    them. Reports per-epoch affected buckets alongside throughput — the
+    claim 'merge cost follows the epoch's key footprint, not table size'
+    as a measurement, not an argument."""
+    import glob
+
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files_key_local
+    from tiflow_spark.sources.registry import default_registry
+    from tiflow_spark.streaming.runner import Changefeed
+
+    n_buckets, n_groups = 256, 16
+    spec = GenSpec(n_convs=n_convs, hot_turns=256, n_source_partitions=32)
+    events_dir = f"{workdir}/keylocal_events"
+    write_epoch_files_key_local(spark, spec, events_dir, n_groups=n_groups)
+    n = spark.read.parquet(*glob.glob(events_dir + "/epoch_*")).count()
+
+    group_size = (n_convs + n_buckets - 1) // n_buckets
+    table = CowTable(
+        spark, f"{workdir}/keylocal_table", n_buckets=n_buckets,
+        auto_vacuum_keep=3,
+        bucket_expr=f"cast(substring(conv_id, 2, 18) as long) div {group_size}",
+    )
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=f"{workdir}/keylocal_ckpt", table=table,
+        registry=default_registry(spec.ddl_ts), max_files_per_trigger=1,
+    )
+    t0 = time.time()
+    feed.run_available_now()
+    dt = time.time() - t0
+    affected = [s.affected_buckets for _, s in feed.batch_log if not s.skipped]
+    return {
+        "events": n,
+        "epochs": len(feed.batch_log),
+        "seconds": round(dt, 3),
+        "events_per_sec": round(n / dt),
+        "n_buckets": n_buckets,
+        "affected_buckets_per_epoch": affected,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -122,21 +167,29 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # best-of-2 per query: robust against ambient VM drift (the round-2
+    # driver campaign recorded 4-10x noise). Safe from Spark 4.1's
+    # repeated-collect result cache because these are SINK WRITES (noop),
+    # which always re-execute.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # blackhole sink
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # blackhole sink
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     workdir = "/tmp/tiflow_spark_bench"
     shutil.rmtree(workdir, ignore_errors=True)
     replay_convs = {"0.001": 2_000, "0.01": 20_000, "0.1": 60_000}.get(sf, 60_000)
     replay = run_cdc_replay(spark, replay_convs, workdir)
     timings["cdc_replay"] = replay["seconds"]
-    # measured and reported under its own key; NOT in the headline sum (the
-    # headline stays comparable across rounds as queries grow)
+    # measured and reported under their own keys; NOT in the headline sum
+    # (the headline stays comparable across rounds as queries grow)
     stream = run_cdc_stream(spark, replay_convs, workdir)
+    stream_keylocal = run_cdc_stream_keylocal(spark, replay_convs, workdir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -149,6 +202,7 @@ def main() -> None:
                 "sf": float(sf),
                 "cdc_replay": replay,
                 "cdc_stream": stream,
+                "cdc_stream_keylocal": stream_keylocal,
             }
         )
     )

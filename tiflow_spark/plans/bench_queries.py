@@ -391,6 +391,23 @@ def q_cdc_online_ddl(spark, sf_dir):
     )
 
 
+def q_cdc_csv_encode(spark, sf_dir):
+    """CSV sink encoding under the oracle — text is salted with commas and
+    quotes so the RFC-4180 quoting path is exercised on every row, not
+    just compiled."""
+    from tiflow_spark.sinks.codecs import csv_encode
+
+    ce = change_events(spark, sf_dir).select(
+        "op", "commit_ts", "start_ts", "conv_id", "turn_idx", "role",
+        F.when(
+            F.col("op") == "D", F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit('x,"'), F.col("text"), F.lit('"'))
+        ).alias("text"),
+    )
+    return csv_encode(ce, table="transcripts")
+
+
 def q_cdc_bdr_filter(spark, sf_dir):
     """BDR-mode loop prevention: only locally-originated writes leave the
     cluster (origin NULL or the local id)."""
@@ -555,6 +572,7 @@ QUERIES = {
     "cdc_pipeline_snapshot": q_cdc_pipeline_snapshot,
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
+    "cdc_csv_encode": q_cdc_csv_encode,
     "cdc_binlog_filter": q_cdc_binlog_filter,
     "cdc_route_tables": q_cdc_route_tables,
     "cdc_online_ddl": q_cdc_online_ddl,
@@ -889,6 +907,23 @@ ORACLES = {
     "cdc_op_order": f"""
       WITH ce AS ({CE_SQL})
       SELECT conv_id, turn_idx, commit_ts, op, {OP_ORDER_SQL} AS op_order FROM ce
+    """,
+    # CSV line assembly incl. RFC-4180 quoting: field order is
+    # op, table, commit_ts, conv_id, turn_idx, role, text; text always
+    # carries a comma+quotes (salted), so it quotes and doubles; NULL -> \N
+    "cdc_csv_encode": f"""
+      WITH ce AS ({CE_SQL}),
+      t AS (SELECT op, commit_ts, conv_id, turn_idx, role,
+              CASE WHEN op = 'D' THEN NULL
+                   ELSE 'x,"' || text || '"' END AS text
+            FROM ce)
+      SELECT op || ',transcripts,' || CAST(commit_ts AS VARCHAR) || ','
+             || conv_id || ',' || CAST(turn_idx AS VARCHAR) || ','
+             || role || ','
+             || CASE WHEN text IS NULL THEN '\\N'
+                     ELSE '"' || replace(text, '"', '""') || '"' END
+        AS line
+      FROM t
     """,
     # ordered binlog rules: (1) ignore D on app_*, (2) ignore all tmp_*,
     # (3) do I on app_logs; first full match decides; a table no rule

@@ -118,8 +118,10 @@ def apply_epoch(
     # expressions (measured ~75x slower); the cache is a plan barrier and
     # the net rows (one per live key) are the smallest point in the pipeline
     net = lww_latest(ev).withColumn("bucket", table._bucket_col()).persist()
-    net.count()  # materialize
-    # affected buckets read from the (small, cached) net — sub-second
+    # ONE action materializes the cache (whole partitions, a plan barrier —
+    # decoding after the aggregate would otherwise fold from_json into its
+    # result expressions, measured ~75x slower) AND yields the affected
+    # buckets; a separate count() first was a second full job per epoch
     affected = [int(r["bucket"]) for r in net.select("bucket").distinct().collect()]
 
     try:
@@ -191,7 +193,7 @@ def _apply_epoch_fenced(
     pending_rel = table.write_pending(full.filter(~gate).drop("op_order"), batch_id)
 
     net = lww_latest(full.filter(gate)).withColumn("bucket", table._bucket_col()).persist()
-    net.count()
+    # one materializing action (see apply_epoch)
     affected = [int(r["bucket"]) for r in net.select("bucket").distinct().collect()]
     try:
         decode = decode_payload_pandas if decoder == "pandas" else decode_payload

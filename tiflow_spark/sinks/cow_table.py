@@ -72,7 +72,7 @@ ENVELOPE_COLS = frozenset(
     {
         "op", "op_order", "commit_ts", "start_ts", "schema_version",
         "source_partition", "payload", "pre_payload", "bucket", "table_name",
-        "__shard",
+        "__shard", "origin",
     }
 )
 
@@ -115,6 +115,7 @@ class CowTable:
         data_schema: dict[str, str] | None = None,
         key_schema: dict[str, str] | None = None,
         auto_vacuum_keep: int | None = None,
+        bucket_expr: str | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -129,6 +130,15 @@ class CowTable:
         # retain this many manifests' data files after each merge (None =
         # never auto-vacuum; call vacuum() manually)
         self.auto_vacuum_keep = auto_vacuum_keep
+        # bucket assignment, as a SQL expression over the key columns
+        # yielding an int in [0, n_buckets). Default: hash bucketing
+        # (Iceberg bucket[N] transform — uniform spread, best for point
+        # updates). A key-RANGE expression (Iceberg truncate/range
+        # transform analog, e.g. conv-id div group_size) preserves key
+        # locality: a feed whose epochs touch contiguous key ranges then
+        # merges only the few buckets those ranges map to — merge cost
+        # follows the epoch's key footprint, not the table size.
+        self.bucket_expr = bucket_expr
         os.makedirs(f"{root}/_manifest", exist_ok=True)
 
     @property
@@ -193,6 +203,8 @@ class CowTable:
     # ---------------- read paths ----------------
 
     def _bucket_col(self):
+        if self.bucket_expr is not None:
+            return F.expr(self.bucket_expr).cast("int")
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets)).cast("int")
 
     def _read_buckets(self, manifest: dict[str, Any], buckets: list[int]) -> DataFrame | None:

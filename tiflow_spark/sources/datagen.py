@@ -256,3 +256,37 @@ def write_epoch_files(
         ev.filter(F.col("epoch") == k).drop("epoch").write.mode("overwrite").parquet(p)
         paths.append(p)
     return paths
+
+
+def write_epoch_files_key_local(
+    spark: SparkSession,
+    spec: GenSpec,
+    out_dir: str,
+    n_groups: int = 16,
+) -> list[str]:
+    """Materialize the change log as key-LOCAL epochs: epoch k carries the
+    full lifecycle of the k-th contiguous conv-id range (conversations
+    arriving as they complete — the bulk-backfill shape), instead of
+    commit_ts bands. Paired with a range-bucketed CowTable
+    (``bucket_expr`` on contiguous conv ranges), each epoch's merge touches
+    only the buckets its key range maps to — the bucket-pruning
+    demonstration the commit_ts-banded feed (every epoch touches every
+    key) cannot show. Out-of-order commit_ts across epochs is safe: the
+    version-conditional merge is order-free and frontiers are per-source-
+    partition maxima."""
+    group_size = (spec.n_convs + n_groups - 1) // n_groups
+    conv_n = F.substring("conv_id", 2, 18).cast("long")
+    ev = generate_change_events(spark, spec).withColumn(
+        "epoch", (conv_n / group_size).cast("long")
+    )
+    paths = []
+    for k in range(n_groups):
+        p = f"{out_dir}/epoch_{k:04d}"
+        # one file per epoch so maxFilesPerTrigger=1 maps one epoch to one
+        # microbatch (scan parallelism is preserved — parquet splits by row
+        # group, not by file)
+        ev.filter(F.col("epoch") == k).drop("epoch").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths.append(p)
+    return paths

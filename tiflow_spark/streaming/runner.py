@@ -101,11 +101,17 @@ class Changefeed:
     table_col: str = "table_name"
     # DM shard-merge routing: applied to table_name before table dispatch
     route_rules: tuple | None = None
-    # sharding-DDL pessimistic barrier (dm/pkg/shardddl/pessimism/lock.go):
-    # when route_rules merge N shards into one target, rows whose
+    # sharding-DDL coordination for route_rules-merged targets:
+    # True = PESSIMISTIC (dm/pkg/shardddl/pessimism/lock.go): rows whose
     # schema_version exceeds min-over-shards(delivered version) are withheld
-    # to the target's pending store until every shard executed the DDL.
-    # Per-shard version frontiers persist in the target's manifest.
+    # to the target's pending store until every shard executed the DDL;
+    # per-shard version frontiers persist in the target's manifest.
+    # False = OPTIMISTIC (dm/pkg/shardddl/optimism): no gate — every row
+    # decodes against its own schema_version and the sink schema evolves to
+    # the registered union immediately, so lagging shards' old-schema rows
+    # coexist with leading shards' new-schema rows (DM's compatible-
+    # superset merge is exactly the mounter's per-version decode + NULL
+    # backfill here).
     shard_ddl_barrier: bool = True
     _shard_vers: dict = field(default_factory=dict)  # target -> {shard: ver}
     # online-DDL tool (gh-ost/pt-osc) handling: drop trash-table events and
