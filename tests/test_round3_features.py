@@ -302,6 +302,102 @@ def test_keylocal_epochs_prune_buckets(spark, tmp_path):
     assert_matches_oracle(table, oracle_state(spark, spec))
 
 
+def test_sync_diff_repair_roundtrip(spark, tmp_path):
+    """The sync_diff fix workflow end to end: corrupt a replicated table
+    (wrong value, missing row, extra row), diff_tables flags it,
+    repair_table merges the correcting batch, and the table then diffs
+    clean against the source-derived expected state."""
+    from tiflow_spark.operators.validate import diff_tables, repair_table
+
+    data_schema = {"role": "string", "text": "string"}
+    expected_rows = [("c%d" % i, 0, "u", "t%d" % i) for i in range(50)]
+    expected = spark.createDataFrame(
+        expected_rows, "conv_id STRING, turn_idx INT, role STRING, text STRING"
+    )
+
+    # build a corrupted table: drop c3, mutate c7, add a phantom key
+    bad_rows = [r for r in expected_rows if r[0] != "c3"]
+    bad_rows = [("c7", 0, "u", "WRONG") if r[0] == "c7" else r for r in bad_rows]
+    bad_rows.append(("zz", 9, "u", "phantom"))
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4,
+                     data_schema=data_schema)
+    seed = spark.createDataFrame(
+        bad_rows, "conv_id STRING, turn_idx INT, role STRING, text STRING"
+    )
+    table.bootstrap(seed, as_of_ts=100)
+
+    d0 = diff_tables(expected, table.snapshot(),
+                     key_cols=["conv_id", "turn_idx"],
+                     compare_cols=["role", "text"])
+    assert not d0.identical and d0.row_diffs >= 3
+
+    applied = repair_table(table, expected, repair_ts=1_000)
+    assert applied == 3  # c3 insert, c7 fix, zz delete
+
+    d1 = diff_tables(expected, table.snapshot(),
+                     key_cols=["conv_id", "turn_idx"],
+                     compare_cols=["role", "text"])
+    assert d1.identical, d1
+
+
+def test_ignore_txn_start_ts(spark):
+    """ignore-txn-start-ts (filter.go ShouldIgnoreTxn): every event of the
+    named transactions is dropped, others untouched."""
+    from tiflow_spark.operators.filters import EventFilterRule, apply_event_filter
+
+    df = spark.createDataFrame(
+        [("I", 10, 9, "a"), ("U", 20, 9, "a"), ("I", 15, 14, "b"), ("D", 30, 29, "a")],
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING",
+    )
+    rule = EventFilterRule(ignore_txn_start_ts=frozenset({9}))
+    kept = {(r["op"], r["commit_ts"]) for r in apply_event_filter(df, rule).collect()}
+    assert kept == {("I", 15), ("D", 30)}
+
+
+def test_mq_watermark_messages(spark, tmp_path):
+    """The MQ changefeed broadcasts TIDB_WATERMARK messages to every
+    partition each epoch (reference canal-JSON watermark + mq resolved-ts
+    flush); the consumer derives the stream watermark as min over
+    partitions of its newest watermark, and the DML decoder ignores
+    watermark rows."""
+    import glob
+
+    from tiflow_spark.sinks.mq import canal_json_decode, mq_resolved_ts
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=40, seed=9)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        registry=default_registry(spec.ddl_ts), max_files_per_trigger=100,
+    )
+    feed.run_mq(str(tmp_path / "mq"), n_partitions=4)
+
+    frame = spark.read.parquet(*glob.glob(str(tmp_path / "mq") + "/batch=*"))
+    wm = frame.filter(F.col("value").contains("TIDB_WATERMARK"))
+    # one watermark per partition per epoch
+    assert wm.select("partition").distinct().count() == 4
+    resolved = mq_resolved_ts(frame)
+    # the consumer's watermark equals the source's global resolved-ts
+    from tiflow_spark.operators.frontier import partition_frontiers
+    from tiflow_spark.sources.datagen import generate_change_events
+
+    expect = (
+        partition_frontiers(generate_change_events(spark, spec))
+        .agg(F.min("resolved_ts")).first()[0]
+    )
+    assert resolved == expect, (resolved, expect)
+    # DML decode skips watermark rows
+    data_schema = ("conv_id STRING, turn_idx INT, role STRING, text STRING, "
+                   "tool STRING, ts TIMESTAMP")
+    decoded = canal_json_decode(frame, data_schema)
+    assert decoded.filter(F.col("conv_id").isNull()).count() == 0
+    assert decoded.count() == frame.count() - wm.count()
+
+
 def test_bdr_mode_prevents_replication_loop(spark, tmp_path):
     """BDR-mode two-way replication (changefeed.go BDRMode): cluster A's
     outbound feed must skip rows its own sink applied FROM cluster B —

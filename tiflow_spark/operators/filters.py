@@ -40,6 +40,10 @@ class EventFilterRule:
     ignore_update_new_expr: str | None = None
     ignore_update_old_expr: str | None = None
     ignore_delete_expr: str | None = None
+    # drop entire transactions by their start_ts (the changefeed
+    # ignore-txn-start-ts option, /root/reference/pkg/filter/filter.go
+    # ShouldIgnoreTxn — the escape hatch for replaying past one bad txn)
+    ignore_txn_start_ts: frozenset[int] = frozenset()
 
 
 def keep_predicate(rule: EventFilterRule) -> Column:
@@ -48,6 +52,8 @@ def keep_predicate(rule: EventFilterRule) -> Column:
     drop = F.lit(False)
     if rule.ignore_ops:
         drop = drop | F.col("op").isin(*rule.ignore_ops)
+    if rule.ignore_txn_start_ts:
+        drop = drop | F.col("start_ts").isin(*rule.ignore_txn_start_ts)
     if rule.ignore_insert_expr:
         drop = drop | ((F.col("op") == "I") & F.expr(rule.ignore_insert_expr))
     if rule.ignore_update_new_expr:

@@ -116,3 +116,60 @@ def diff_tables(
         or 0
     )
     return DiffResult(n_chunks=n_chunks, mismatched_chunks=sorted(bad), row_diffs=row_diffs)
+
+
+def make_repair_batch(
+    expected: DataFrame,
+    actual: DataFrame,
+    key_cols: list[str],
+    data_cols: list[str],
+    repair_ts: int,
+) -> DataFrame:
+    """The sync_diff fix-SQL analog (/root/reference/sync_diff_inspector/
+    checkpoints + the generated fix.sql): a change batch that, merged into
+    the table behind ``actual``, makes it equal ``expected``.
+
+    Set-wise (one full-outer key join, no driver loop):
+    - key in expected, absent or different in actual → INSERT expected row;
+    - key only in actual → DELETE.
+    Versioned at ``repair_ts``, which must exceed every commit_ts in the
+    table so the version-conditional merge lets repairs win."""
+    e = expected.select(
+        *key_cols, *data_cols, F.lit(True).alias("_e")
+    ).alias("e")
+    a = actual.select(
+        *key_cols,
+        *[F.col(c).alias(f"_a_{c}") for c in data_cols],
+        F.lit(True).alias("_a"),
+    ).alias("a")
+    joined = e.join(a, on=key_cols, how="full_outer")
+
+    differs = F.col("_e").isNull() | F.col("_a").isNull()
+    for c in data_cols:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"_a_{c}"))
+
+    return (
+        joined.filter(differs)
+        .select(
+            F.when(F.col("_e").isNull(), F.lit("D")).otherwise(F.lit("I")).alias("op"),
+            F.lit(repair_ts).cast("long").alias("commit_ts"),
+            F.lit(repair_ts - 1).cast("long").alias("start_ts"),
+            F.lit(0).cast("int").alias("source_partition"),
+            *key_cols,
+            *data_cols,
+        )
+    )
+
+
+def repair_table(table, expected: DataFrame, repair_ts: int) -> int:
+    """Apply a repair pass: diff the snapshot against ``expected`` and merge
+    the correcting batch. Returns the number of repair events applied."""
+    batch = make_repair_batch(
+        expected,
+        table.snapshot(),
+        key_cols=list(table.key_cols),
+        data_cols=list(table.data_cols),
+        repair_ts=repair_ts,
+    )
+    stats = table.merge(batch, batch_id=table.last_committed_batch() + 1)
+    return stats.applied_events

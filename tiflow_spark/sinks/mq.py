@@ -76,6 +76,47 @@ def encode_for_mq(
     )
 
 
+def resolved_messages(spark, resolved_ts: int, n_partitions: int) -> DataFrame:
+    """Watermark broadcast: one TIDB_WATERMARK message per MQ partition
+    (reference canal-JSON watermark extension,
+    /root/reference/pkg/sink/codec/canal/canal_json_message.go, and the MQ
+    sink's resolved-ts flush to EVERY partition — a consumer reading any
+    single partition must still learn the watermark). Shape matches
+    ``encode_for_mq`` output, so it unions into the same write."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n_partitions).select(
+        F.lit(None).cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.lit("TIDB_WATERMARK").alias("type"),
+                F.lit(int(resolved_ts)).alias("es"),
+            )
+        ).alias("value"),
+        F.col("id").cast("int").alias("partition"),
+    )
+
+
+def mq_resolved_ts(frame: DataFrame) -> int | None:
+    """Consumer-side watermark: newest watermark per partition, then min
+    across partitions (the frontier rule — a lagging partition holds the
+    stream's watermark back). None when any partition has no watermark."""
+    from pyspark.sql import functions as F
+
+    env = F.from_json("value", "type STRING, es LONG")
+    per_part = (
+        frame.withColumn("_t", env["type"]).withColumn("_es", env["es"])
+        .groupBy("partition")
+        .agg(F.max(F.when(F.col("_t") == "TIDB_WATERMARK", F.col("_es"))).alias("wm"))
+    )
+    row = per_part.agg(
+        F.min("wm").alias("m"), F.sum(F.col("wm").isNull().cast("int")).alias("gaps")
+    ).first()
+    if row["m"] is None or (row["gaps"] or 0) > 0:
+        return None
+    return int(row["m"])
+
+
 def write_mq_files(frame: DataFrame, out_dir: str) -> None:
     """File-backed stand-in for the broker: one dir per partition, ordered
     within by the consumer's replay sort."""
@@ -109,6 +150,8 @@ def canal_json_decode(frame: DataFrame, data_schema: str) -> DataFrame:
         "value",
         f"type STRING, es LONG, pkNames ARRAY<STRING>, data STRUCT<{data_schema}>",
     )
+    # watermark messages carry no row — they feed mq_resolved_ts, not replay
+    frame = frame.filter(env["type"] != "TIDB_WATERMARK")
     return frame.select(
         F.when(env["type"] == "INSERT", "I")
         .when(env["type"] == "UPDATE", "U")

@@ -371,6 +371,20 @@ class Changefeed:
                     n_partitions=n_partitions,
                     dispatch=dispatch,
                 )
+                # watermark flush: this epoch's resolved-ts broadcast to
+                # every partition (reference mq sink resolved-ts flush)
+                from tiflow_spark.operators.frontier import partition_frontiers
+                from tiflow_spark.sinks.mq import resolved_messages
+
+                fr = (
+                    partition_frontiers(batch_dml)
+                    .agg(F.min("resolved_ts"))
+                    .first()[0]
+                )
+                if fr is not None:
+                    frame = frame.unionByName(
+                        resolved_messages(self.spark, int(fr), n_partitions)
+                    )
                 frame.write.mode("overwrite").parquet(f"{mq_dir}/batch={batch_id}")
                 self.batch_log.append((int(batch_id), "mq"))
             finally:
