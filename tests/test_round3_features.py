@@ -398,6 +398,45 @@ def test_mq_watermark_messages(spark, tmp_path):
     assert decoded.count() == frame.count() - wm.count()
 
 
+def test_mq_ddl_broadcast(spark, tmp_path):
+    """MQ DDL sink parity: in-stream DDL events broadcast to every MQ
+    partition; the consumer rebuilds its registry from them and the DML
+    decoder skips them."""
+    import glob
+    import json as _json
+
+    from tiflow_spark.sinks.mq import canal_json_decode, mq_schema_versions
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.sources.registry import default_registry
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=30, seed=13, emit_ddl=True)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    v1 = default_registry(spec.ddl_ts)[0]
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"), registry=[v1],
+        ddl_in_stream=True, max_files_per_trigger=100,
+    )
+    feed.run_mq(str(tmp_path / "mq"), n_partitions=4)
+
+    frame = spark.read.parquet(*glob.glob(str(tmp_path / "mq") + "/batch=*"))
+    vers = mq_schema_versions(frame)
+    assert [v[0] for v in vers] == [2]
+    # schema payload round-trips into a usable StructType
+    sch = T.StructType.fromJson(_json.loads(vers[0][2]))
+    assert "tool" in [f.name for f in sch.fields]
+    # broadcast reached every partition
+    ddl_rows = frame.filter(F.col("value").contains('"DDL"'))
+    assert ddl_rows.select("partition").distinct().count() == 4
+    # DML decode skips DDL + watermark messages
+    data_schema = ("conv_id STRING, turn_idx INT, role STRING, text STRING, "
+                   "tool STRING, ts TIMESTAMP")
+    decoded = canal_json_decode(frame, data_schema)
+    assert decoded.filter(F.col("conv_id").isNull()).count() == 0
+
+
 def test_bdr_mode_prevents_replication_loop(spark, tmp_path):
     """BDR-mode two-way replication (changefeed.go BDRMode): cluster A's
     outbound feed must skip rows its own sink applied FROM cluster B —
@@ -501,6 +540,56 @@ def test_avro_binary_confluent_roundtrip(spark):
     assert got[k3]["tool"] == "grep" and got[k3]["score"] == -0.25
     k2 = _json.dumps({"conv_id": "c2", "turn_idx": 1}, separators=(",", ":"))
     assert got[k2]["text"] is None and got[k2]["n"] == 2**40
+
+
+def test_rename_survives_across_epochs_without_rewrite(spark, tmp_path):
+    """The hard rename case: bucket files written BEFORE the rename carry
+    the old column name; a later epoch renames it. The sink must keep
+    serving those rows' data under the new name (manifest-persisted rename
+    history — the by-name analog of Iceberg's field-id rename, no data
+    rewrite), including after reopening the table with no schema argument."""
+    import json as _json
+
+    from tiflow_spark.sinks.cow_table import data_schema_from_registry
+    from tiflow_spark.sources.registry import SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    v1 = SchemaVersion(1, 0, T.StructType([
+        T.StructField("role", T.StringType()), T.StructField("text", T.StringType())]))
+    v2_schema = T.StructType([
+        T.StructField("role", T.StringType()), T.StructField("content", T.StringType())])
+    ddl = _json.dumps({"schema": v2_schema.jsonValue(),
+                       "renames": [["content", "text"]]})
+    events_dir = tmp_path / "events"
+    # epoch 1: two v1 inserts in DIFFERENT buckets-to-be; files written
+    # under the old name. epoch 2: the rename DDL + an update to only ONE
+    # key — the other key's file is never rewritten.
+    e1 = [("I", 10, 9, "keep", 0, 1, '{"role":"u","text":"old-data"}', None, 0),
+          ("I", 11, 10, "upd", 0, 1, '{"role":"u","text":"u0"}', None, 0)]
+    e2 = [("DDL", 1999, 1998, None, None, 2, ddl, None, 0),
+          ("U", 2500, 2499, "upd", 0, 2, '{"role":"u","content":"u1"}', None, 0)]
+    for name, rows in [("e1", e1), ("e2", e2)]:
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(events_dir / name))
+
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=8,
+                     data_schema=data_schema_from_registry([v1]))
+    feed = Changefeed(
+        spark=spark, events_dir=str(events_dir / "e*"),
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table, registry=[v1],
+        ddl_in_stream=True, max_files_per_trigger=1,
+    )
+    feed.run_available_now()
+
+    state = {r["conv_id"]: r["content"] for r in table.snapshot().collect()}
+    assert state == {"keep": "old-data", "upd": "u1"}, state
+
+    # reopen with NO schema argument: schema + rename history come from
+    # the manifest (Iceberg-style table metadata)
+    reopened = CowTable(spark, str(tmp_path / "t"), n_buckets=8)
+    assert "content" in reopened.data_schema and "text" not in reopened.data_schema
+    state2 = {r["conv_id"]: r["content"] for r in reopened.snapshot().collect()}
+    assert state2 == state
 
 
 def test_registry_renames_roundtrip(spark, tmp_path):

@@ -408,6 +408,37 @@ def q_cdc_csv_encode(spark, sf_dir):
     return csv_encode(ce, table="transcripts")
 
 
+def q_cdc_repair_batch(spark, sf_dir):
+    """sync_diff fix generation under the oracle: expected = LWW final
+    state; actual = expected with a deterministic corruption (every conv
+    ending in '3' dropped, every turn_idx 7 mutated, a phantom key added);
+    output = the correcting change batch (full-outer key diff)."""
+    from tiflow_spark.operators.validate import make_repair_batch
+
+    ce = change_events(spark, sf_dir)
+    expected = (
+        lww_latest(ce).filter(F.col("op") != "D")
+        .select("conv_id", "turn_idx", "role", "text")
+    )
+    actual = (
+        expected.filter(~F.col("conv_id").endswith("3"))
+        .withColumn(
+            "text",
+            F.when(F.col("turn_idx") == 7, F.lit("CORRUPT")).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("zz_phantom", 0, "ghost", "ghost")],
+                "conv_id STRING, turn_idx INT, role STRING, text STRING",
+            )
+        )
+    )
+    return make_repair_batch(
+        expected, actual, key_cols=["conv_id", "turn_idx"],
+        data_cols=["role", "text"], repair_ts=9_000_000,
+    ).select("op", "commit_ts", "conv_id", "turn_idx", "role", "text")
+
+
 def q_cdc_bdr_filter(spark, sf_dir):
     """BDR-mode loop prevention: only locally-originated writes leave the
     cluster (origin NULL or the local id)."""
@@ -573,6 +604,7 @@ QUERIES = {
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
     "cdc_csv_encode": q_cdc_csv_encode,
+    "cdc_repair_batch": q_cdc_repair_batch,
     "cdc_binlog_filter": q_cdc_binlog_filter,
     "cdc_route_tables": q_cdc_route_tables,
     "cdc_online_ddl": q_cdc_online_ddl,
@@ -924,6 +956,35 @@ ORACLES = {
                      ELSE '"' || replace(text, '"', '""') || '"' END
         AS line
       FROM t
+    """,
+    # repair generation: expected = LWW survivors; actual = deterministic
+    # corruption (convs ending '3' dropped, turn 7 mutated, phantom key);
+    # full-outer key diff -> I rows for missing/differing, D for phantoms
+    "cdc_repair_batch": f"""
+      WITH exp AS ({_LWW_SQL.replace("val, commit_ts", "val, commit_ts")}),
+      expected AS (SELECT conv_id, turn_idx, role, text FROM exp),
+      actual AS (
+        SELECT conv_id, turn_idx, role,
+               CASE WHEN turn_idx = 7 THEN 'CORRUPT' ELSE text END AS text
+        FROM expected WHERE conv_id NOT LIKE '%3'
+        UNION ALL
+        SELECT 'zz_phantom', 0, 'ghost', 'ghost'
+      ),
+      j AS (
+        SELECT coalesce(e.conv_id, a.conv_id) AS conv_id,
+               coalesce(e.turn_idx, a.turn_idx) AS turn_idx,
+               e.role AS e_role, e.text AS e_text,
+               a.role AS a_role, a.text AS a_text,
+               e.conv_id IS NOT NULL AS in_e, a.conv_id IS NOT NULL AS in_a
+        FROM expected e FULL OUTER JOIN actual a
+          ON e.conv_id = a.conv_id AND e.turn_idx = a.turn_idx
+      )
+      SELECT CASE WHEN NOT in_e THEN 'D' ELSE 'I' END AS op,
+             CAST(9000000 AS BIGINT) AS commit_ts,
+             conv_id, turn_idx, e_role AS role, e_text AS text
+      FROM j
+      WHERE NOT in_e OR NOT in_a
+         OR e_role IS DISTINCT FROM a_role OR e_text IS DISTINCT FROM a_text
     """,
     # ordered binlog rules: (1) ignore D on app_*, (2) ignore all tmp_*,
     # (3) do I on app_logs; first full match decides; a table no rule

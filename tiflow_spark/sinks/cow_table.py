@@ -125,8 +125,29 @@ class CowTable:
         # column is absent (schema evolution: a pre-DDL batch/file lacks
         # columns added later — Iceberg add-column semantics, NULL for old
         # data). Derivable from a registry via data_schema_from_registry.
-        self.data_schema = dict(data_schema) if data_schema is not None else dict(DEFAULT_DATA_SCHEMA)
+        os.makedirs(f"{root}/_manifest", exist_ok=True)
+        if data_schema is not None:
+            self.data_schema = dict(data_schema)
+        else:
+            # like Iceberg, the table's schema lives in its own metadata:
+            # reopening an existing table needs no schema argument (every
+            # merge persists data_schema in the manifest); a fresh table
+            # starts from the transcript default
+            self.data_schema = dict(
+                self.current_manifest().get("data_schema") or DEFAULT_DATA_SCHEMA
+            )
         self.key_schema = dict(key_schema) if key_schema is not None else dict(DEFAULT_KEY_SCHEMA)
+        # column rename history: data column -> older physical names,
+        # newest first (set by the runner's schema evolution from the
+        # registry's rename chains; persisted in the manifest). Bucket
+        # files written before a RENAME carry the old name — reads
+        # reconstruct the current column from whichever name a file has,
+        # the by-name analog of Iceberg's field-id rename (metadata-only,
+        # no data rewrite).
+        self.column_history: dict[str, list[str]] = {
+            k: list(v)
+            for k, v in (self.current_manifest().get("column_history") or {}).items()
+        }
         # retain this many manifests' data files after each merge (None =
         # never auto-vacuum; call vacuum() manually)
         self.auto_vacuum_keep = auto_vacuum_keep
@@ -139,17 +160,34 @@ class CowTable:
         # merges only the few buckets those ranges map to — merge cost
         # follows the epoch's key footprint, not the table size.
         self.bucket_expr = bucket_expr
-        os.makedirs(f"{root}/_manifest", exist_ok=True)
 
     @property
     def data_cols(self) -> tuple[str, ...]:
         return tuple(self.data_schema)
 
     def _with_all_data_cols(self, df: DataFrame) -> DataFrame:
-        missing = [c for c in self.data_cols if c not in df.columns]
-        for c in missing:
-            df = df.withColumn(c, F.lit(None).cast(self.data_schema.get(c, "string")))
-        return df
+        """Conform ``df`` to the current data schema: absent columns
+        backfill NULL (add-column evolution), and a column absent under its
+        CURRENT name is reconstructed from its historical names when the
+        frame carries them (rename evolution — a mergeSchema read over
+        pre- and post-rename bucket files yields both names; newest
+        non-null wins)."""
+        for c in self.data_cols:
+            t = self.data_schema.get(c, "string")
+            sources = [n for n in [c, *self.column_history.get(c, [])] if n in df.columns]
+            if sources == [c]:
+                continue
+            if not sources:
+                df = df.withColumn(c, F.lit(None).cast(t))
+            else:
+                df = df.withColumn(
+                    c, F.coalesce(*[F.col(n).cast(t) for n in sources])
+                )
+        # historical names are consumed above — drop them so frames from
+        # pre- and post-rename files union cleanly
+        hist = {n for hs in self.column_history.values() for n in hs}
+        stale = [n for n in hist if n in df.columns and n not in self.data_cols]
+        return df.drop(*stale) if stale else df
 
     # ---------------- manifest (atomic metadata) ----------------
 
@@ -329,6 +367,13 @@ class CowTable:
                     "applied_events": applied,
                     # lineage rides the SAME atomic rename as the merge
                     "lineage": [list(r) for r in lineage_rows],
+                    # table schema lives in table metadata (Iceberg-style):
+                    # reopening needs no schema argument, and rename
+                    # history makes pre-rename files readable forever
+                    "data_schema": dict(self.data_schema),
+                    "column_history": {
+                        k: list(v) for k, v in self.column_history.items() if v
+                    },
                     **extra,
                 }
             )

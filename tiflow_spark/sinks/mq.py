@@ -117,6 +117,51 @@ def mq_resolved_ts(frame: DataFrame) -> int | None:
     return int(row["m"])
 
 
+def ddl_messages(ddl_rows: DataFrame, n_partitions: int) -> DataFrame:
+    """DDL broadcast: each op='DDL' change row becomes one message per MQ
+    partition (reference MQ DDL sink, /root/reference/cdc/sink/ddlsink/mq/
+    mq_ddl_sink.go — DDLs go to every partition so any single-partition
+    consumer keeps schema lockstep). Value carries the registry payload
+    (schema JSON + version) the consumer replays into its own registry."""
+    from pyspark.sql import functions as F
+
+    value = F.to_json(
+        F.struct(
+            F.lit("DDL").alias("type"),
+            F.col("commit_ts").alias("es"),
+            F.col("schema_version").alias("schemaVersion"),
+            F.col("payload").alias("schemaJson"),
+        )
+    )
+    return (
+        ddl_rows.select(
+            F.lit(None).cast("string").alias("key"),
+            value.alias("value"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_partitions - 1))).alias("p"),
+        )
+        .select("key", "value", F.col("p").cast("int").alias("partition"))
+    )
+
+
+def mq_schema_versions(frame: DataFrame) -> list[tuple[int, int, str]]:
+    """Consumer side of the DDL broadcast: distinct (schema_version,
+    commit_ts, schema_json) triples from DDL messages — feed into
+    SchemaVersion/add_version to keep the consumer registry in lockstep."""
+    from pyspark.sql import functions as F
+
+    env = F.from_json("value", "type STRING, es LONG, schemaVersion LONG, schemaJson STRING")
+    rows = (
+        frame.select(env.alias("e"))
+        .filter(F.col("e.type") == "DDL")
+        .select("e.schemaVersion", "e.es", "e.schemaJson")
+        .distinct()
+        .collect()
+    )
+    return sorted(
+        (int(r["schemaVersion"]), int(r["es"]), r["schemaJson"]) for r in rows
+    )
+
+
 def write_mq_files(frame: DataFrame, out_dir: str) -> None:
     """File-backed stand-in for the broker: one dir per partition, ordered
     within by the consumer's replay sort."""
@@ -150,8 +195,9 @@ def canal_json_decode(frame: DataFrame, data_schema: str) -> DataFrame:
         "value",
         f"type STRING, es LONG, pkNames ARRAY<STRING>, data STRUCT<{data_schema}>",
     )
-    # watermark messages carry no row — they feed mq_resolved_ts, not replay
-    frame = frame.filter(env["type"] != "TIDB_WATERMARK")
+    # watermark/DDL messages carry no row — they feed mq_resolved_ts /
+    # mq_schema_versions, not the DML replay
+    frame = frame.filter(~env["type"].isin("TIDB_WATERMARK", "DDL"))
     return frame.select(
         F.when(env["type"] == "INSERT", "I")
         .when(env["type"] == "UPDATE", "U")

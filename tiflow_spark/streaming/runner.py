@@ -191,10 +191,26 @@ class Changefeed:
         if not (self.ddl_in_stream or self.registry_path is not None):
             return
         from tiflow_spark.sinks.cow_table import data_schema_from_registry
+        from tiflow_spark.sources.registry import field_source_name, latest_schema
 
         new_schema = data_schema_from_registry(registry)
         if new_schema != table.data_schema:
             table.data_schema = new_schema
+        # rename history (newest-first older names per current column) so
+        # the sink can read bucket files written before a RENAME without
+        # rewriting them (cow_table._with_all_data_cols)
+        ordered = sorted(registry, key=lambda v: -v.schema_version)
+        hist: dict[str, list[str]] = {}
+        for f in latest_schema(registry).fields:
+            names: list[str] = []
+            for v in ordered:
+                src = field_source_name(registry, f.name, v)
+                if src and src != f.name and src not in names:
+                    names.append(src)
+            if names:
+                hist[f.name] = names
+        if hist != table.column_history:
+            table.column_history = hist
 
     def _shard_barrier(
         self, name: str, tbl: CowTable, shard_maxima: list | None
@@ -372,9 +388,11 @@ class Changefeed:
                     dispatch=dispatch,
                 )
                 # watermark flush: this epoch's resolved-ts broadcast to
-                # every partition (reference mq sink resolved-ts flush)
+                # every partition (reference mq sink resolved-ts flush);
+                # DDL rows broadcast likewise (MQ DDL sink) so consumers
+                # keep schema lockstep
                 from tiflow_spark.operators.frontier import partition_frontiers
-                from tiflow_spark.sinks.mq import resolved_messages
+                from tiflow_spark.sinks.mq import ddl_messages, resolved_messages
 
                 fr = (
                     partition_frontiers(batch_dml)
@@ -384,6 +402,12 @@ class Changefeed:
                 if fr is not None:
                     frame = frame.unionByName(
                         resolved_messages(self.spark, int(fr), n_partitions)
+                    )
+                if self.ddl_in_stream:
+                    frame = frame.unionByName(
+                        ddl_messages(
+                            batch.filter(F.col("op") == "DDL"), n_partitions
+                        )
                     )
                 frame.write.mode("overwrite").parquet(f"{mq_dir}/batch={batch_id}")
                 self.batch_log.append((int(batch_id), "mq"))
