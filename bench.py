@@ -105,6 +105,48 @@ def run_cdc_stream(spark, n_convs: int, workdir: str) -> dict:
     }
 
 
+def run_cdc_stream_mor(spark, n_convs: int, workdir: str) -> dict:
+    """Same commit_ts-banded feed as run_cdc_stream, but the sink runs
+    merge-on-read: epochs append per-bucket deltas (no reconcile read of
+    the accumulated table), one compaction folds them at the end. Reported
+    separately so the COW-vs-MOR write-amplification tradeoff is a
+    measurement."""
+    import glob
+
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.sources.registry import default_registry
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=n_convs, hot_turns=256, n_source_partitions=32)
+    events_dir = f"{workdir}/stream_events"  # shared with run_cdc_stream
+    if not glob.glob(events_dir + "/epoch_*"):
+        write_epoch_files(spark, spec, events_dir)
+    n = spark.read.parquet(*glob.glob(events_dir + "/epoch_*")).count()
+
+    table = CowTable(spark, f"{workdir}/mor_table", n_buckets=32,
+                     mode="mor", auto_vacuum_keep=3)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=f"{workdir}/mor_ckpt", table=table,
+        registry=default_registry(spec.ddl_ts), max_files_per_trigger=64,
+    )
+    t0 = time.time()
+    feed.run_available_now()
+    stream_dt = time.time() - t0
+    t0 = time.time()
+    table.compact()
+    compact_dt = time.time() - t0
+    return {
+        "events": n,
+        "epochs": len(feed.batch_log),
+        "stream_seconds": round(stream_dt, 3),
+        "compact_seconds": round(compact_dt, 3),
+        "events_per_sec_stream": round(n / stream_dt),
+        "events_per_sec_incl_compact": round(n / (stream_dt + compact_dt)),
+    }
+
+
 def run_cdc_stream_keylocal(spark, n_convs: int, workdir: str) -> dict:
     """Bucket-pruning evidence (round-2 verdict #9): epochs carry contiguous
     conv-id ranges and the table range-buckets on the same ranges, so each
@@ -189,6 +231,7 @@ def main() -> None:
     # measured and reported under their own keys; NOT in the headline sum
     # (the headline stays comparable across rounds as queries grow)
     stream = run_cdc_stream(spark, replay_convs, workdir)
+    stream_mor = run_cdc_stream_mor(spark, replay_convs, workdir)
     stream_keylocal = run_cdc_stream_keylocal(spark, replay_convs, workdir)
 
     total = round(sum(timings.values()), 3)
@@ -202,6 +245,7 @@ def main() -> None:
                 "sf": float(sf),
                 "cdc_replay": replay,
                 "cdc_stream": stream,
+                "cdc_stream_mor": stream_mor,
                 "cdc_stream_keylocal": stream_keylocal,
             }
         )

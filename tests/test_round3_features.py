@@ -271,6 +271,87 @@ def test_online_ddl_ghost_table_choreography(spark, tmp_path):
     assert [v.schema_version for v in feed.tables["chats"][1]] == [1, 2]
 
 
+def test_mor_mode_stream_matches_oracle(spark, tmp_path):
+    """Merge-on-read sink (Iceberg v2 / Hudi MOR / Paimon-LSM analog, the
+    write-side relative of the reference's Pebble LSM sorter): epochs
+    append per-bucket delta files (no reconcile read), snapshots resolve
+    base+deltas per key, compact() folds deltas back. Final state must
+    equal the replay oracle before AND after compaction, and vacuum must
+    reclaim folded delta dirs."""
+    import glob
+
+    from tests.test_e2e_replay import assert_matches_oracle, oracle_state
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=80, seed=21)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+        registry=default_registry(spec.ddl_ts), max_files_per_trigger=2,
+    )
+    feed.run_available_now()
+
+    oracle = oracle_state(spark, spec)
+    m = table.current_manifest()
+    assert m.get("deltas"), "MOR epochs must leave delta references"
+    assert not m["buckets"], "no epoch should have rewritten a base bucket"
+    assert_matches_oracle(table, oracle)
+
+    n = table.compact()
+    assert n > 0
+    m2 = table.current_manifest()
+    assert not m2.get("deltas") and m2["buckets"]
+    assert_matches_oracle(table, oracle)
+    table.vacuum(keep_manifests=1)
+    assert glob.glob(str(tmp_path / "t" / "delta" / "*")) == []
+    assert_matches_oracle(table, oracle)
+
+
+def test_mor_auto_compact_bounds_deltas(spark, tmp_path):
+    """auto_compact_deltas is the LSM level-0 trigger: no bucket ever
+    holds that many delta files after a merge."""
+    from tests.test_e2e_replay import assert_matches_oracle, oracle_state
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=60, seed=22)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor",
+                     auto_compact_deltas=2, auto_vacuum_keep=3)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+        registry=default_registry(spec.ddl_ts), max_files_per_trigger=1,
+    )
+    feed.run_available_now()
+    deltas = table.current_manifest().get("deltas") or {}
+    assert all(len(v) < 2 for v in deltas.values()), deltas
+    assert_matches_oracle(table, oracle_state(spark, spec))
+
+
+def test_mor_gc_does_not_resurrect(spark, tmp_path):
+    """MOR + tombstone GC: a delete living in a DELTA over an insert in the
+    BASE must not resurrect the base row when the tombstone is dropped —
+    gc resolves before filtering."""
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    ins = spark.createDataFrame([_ev("I", 10, "x", 0)], EV_SCHEMA)
+    table.merge(ins, batch_id=0)
+    table.compact()  # insert now lives in the BASE
+    dele = spark.createDataFrame(
+        [("D", 50, 49, "x", 0, 1, None, None, 0)], EV_SCHEMA
+    )
+    table.merge(dele, batch_id=1)  # delete lives in a DELTA
+    assert table.snapshot().count() == 0
+    removed = table.gc_tombstones(below_resolved_ts=100)
+    assert removed == 1
+    assert table.snapshot().count() == 0, "gc resurrected a deleted row"
+
+
 def test_keylocal_epochs_prune_buckets(spark, tmp_path):
     """Range bucketing + key-local epochs = bucket pruning: each epoch's
     merge must touch only the buckets its conv range maps to (here <=4 of

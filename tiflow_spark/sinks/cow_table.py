@@ -116,6 +116,8 @@ class CowTable:
         key_schema: dict[str, str] | None = None,
         auto_vacuum_keep: int | None = None,
         bucket_expr: str | None = None,
+        mode: str = "cow",
+        auto_compact_deltas: int | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -160,6 +162,22 @@ class CowTable:
         # merges only the few buckets those ranges map to — merge cost
         # follows the epoch's key footprint, not the table size.
         self.bucket_expr = bucket_expr
+        # write strategy:
+        # - "cow" (default): each merge reads the affected base buckets,
+        #   reconciles, and REWRITES them — reads are zero-cost (one row
+        #   per key on disk), writes cost O(affected base).
+        # - "mor" (merge-on-read — Iceberg v2 / Hudi MOR / Paimon-LSM
+        #   analog, and the closest relative of the reference's Pebble LSM
+        #   sorter): each merge only APPENDS its net rows as per-bucket
+        #   delta files — write cost O(epoch), no reconcile read at all;
+        #   reads resolve base+deltas per key (lww) until ``compact()``
+        #   folds deltas back into the base. ``auto_compact_deltas``
+        #   compacts whenever any bucket accumulates that many delta files
+        #   (bounds read amplification — the LSM level-0 trigger).
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        self.mode = mode
+        self.auto_compact_deltas = auto_compact_deltas
 
     @property
     def data_cols(self) -> tuple[str, ...]:
@@ -251,11 +269,25 @@ class CowTable:
             for b in buckets
             if str(b) in manifest["buckets"]
         ]
+        deltas = manifest.get("deltas") or {}
+        for b in buckets:
+            paths += [os.path.join(self.root, rel) for rel in deltas.get(str(b), [])]
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
         # mergeSchema: bucket files written before a DDL lack later columns
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """Per-key newest-version reduce over base+delta rows (the
+        merge-on-read resolve; partial-aggregating, same as the LWW core)."""
+        ver = F.struct(*[F.col(c) for c in VERSION_COLS])
+        val_cols = [c for c in df.columns if c not in self.key_cols]
+        return (
+            df.groupBy(*self.key_cols)
+            .agg(F.max_by(F.struct(*val_cols), ver).alias("_w"))
+            .select(*self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in val_cols])
+        )
 
     def _empty_schema(self) -> str:
         fields = [f"{c} {t}" for c, t in self.key_schema.items()]
@@ -267,12 +299,20 @@ class CowTable:
         """Current table state. Public view: tombstones filtered, internal
         columns dropped."""
         manifest = self.current_manifest()
-        df = self._read_buckets(manifest, [int(b) for b in manifest["buckets"]])
+        all_buckets = sorted(
+            {int(b) for b in manifest["buckets"]}
+            | {int(b) for b in (manifest.get("deltas") or {})}
+        )
+        df = self._read_buckets(manifest, all_buckets)
         if df is None:
             df = self.spark.createDataFrame([], self._empty_schema())
+        df = self._with_all_data_cols(df)
+        if manifest.get("deltas"):
+            # merge-on-read: resolve base+deltas to one row per key
+            df = self._resolve(df)
         # project to the CURRENT schema: bucket files written before a
         # column DROP still carry it (mergeSchema) — the snapshot must not
-        df = self._with_all_data_cols(df).select(
+        df = df.select(
             *self.key_cols, *self.data_cols, *VERSION_COLS, "__deleted"
         )
         if include_tombstones:
@@ -353,7 +393,12 @@ class CowTable:
         if "pending" not in extra and manifest.get("pending"):
             extra["pending"] = manifest["pending"]
 
-        def commit(buckets: dict[str, str], applied: int, n_affected: int) -> MergeStats:
+        def commit(
+            buckets: dict[str, str],
+            applied: int,
+            n_affected: int,
+            deltas: dict[str, list[str]] | None = None,
+        ) -> MergeStats:
             self._commit_manifest(
                 {
                     "seq": manifest["seq"] + 1,
@@ -363,6 +408,7 @@ class CowTable:
                     "resolved_ts": frontier_resolved,
                     "frontiers": new_frontiers,
                     "buckets": buckets,
+                    "deltas": deltas if deltas is not None else (manifest.get("deltas") or {}),
                     "committed_at": time.time(),
                     "applied_events": applied,
                     # lineage rides the SAME atomic rename as the merge
@@ -422,6 +468,36 @@ class CowTable:
                 net.unpersist()
             return commit(dict(manifest["buckets"]), n_events, 0)
 
+        if self.mode == "mor":
+            # merge-on-read: no reconcile read — append this epoch's net
+            # rows as per-bucket delta files (LSM level-0 write). Replays
+            # rewrite the same batch-id dir (idempotent); the fence above
+            # already skips committed batch ids.
+            data_rel = f"delta/b{batch_id}"
+            (
+                net.repartition(min(len(affected), 200), "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{self.root}/{data_rel}")
+            )
+            if affected_buckets is None:
+                net.unpersist()
+            new_deltas = {
+                k: list(v) for k, v in (manifest.get("deltas") or {}).items()
+            }
+            for b in affected:
+                rel = f"{data_rel}/bucket={b}"
+                if os.path.exists(f"{self.root}/{rel}"):
+                    new_deltas.setdefault(str(b), []).append(rel)
+            stats = commit(
+                dict(manifest["buckets"]), n_events, len(affected), deltas=new_deltas
+            )
+            if self.auto_compact_deltas is not None and any(
+                len(v) >= self.auto_compact_deltas for v in new_deltas.values()
+            ):
+                self.compact()
+            return stats
+
         existing = self._read_buckets(manifest, affected)
         if existing is not None:
             existing = self._with_all_data_cols(existing).withColumn(
@@ -459,7 +535,57 @@ class CowTable:
             bucket_dir = f"{data_rel}/bucket={b}"
             if os.path.exists(f"{self.root}/{bucket_dir}"):
                 new_buckets[str(b)] = bucket_dir
-        return commit(new_buckets, n_events, len(affected))
+        # a COW rewrite folds any outstanding deltas of the affected
+        # buckets into the new base (the read above included them)
+        remaining_deltas = {
+            k: list(v)
+            for k, v in (manifest.get("deltas") or {}).items()
+            if int(k) not in set(affected)
+        }
+        return commit(new_buckets, n_events, len(affected), deltas=remaining_deltas)
+
+    def compact(self) -> int:
+        """Fold outstanding delta files back into the base (the LSM
+        compaction / Iceberg rewrite_data_files analog): per-key resolve
+        over base+deltas of the delta-bearing buckets, rewrite those
+        buckets, clear their delta references in one atomic manifest swap.
+        Cost ∝ the delta-bearing buckets, not the table. Returns the number
+        of buckets compacted."""
+        manifest = self.current_manifest()
+        deltas = manifest.get("deltas") or {}
+        if not deltas:
+            return 0
+        affected = sorted(int(b) for b in deltas)
+        df = self._read_buckets(manifest, affected)
+        resolved = self._resolve(self._with_all_data_cols(df)).withColumn(
+            "bucket", self._bucket_col()
+        )
+        data_rel = f"data/c{manifest['seq'] + 1}"
+        (
+            resolved.repartition(min(len(affected), 200), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{self.root}/{data_rel}")
+        )
+        new_buckets = dict(manifest["buckets"])
+        for b in affected:
+            rel = f"{data_rel}/bucket={b}"
+            if os.path.exists(f"{self.root}/{rel}"):
+                new_buckets[str(b)] = rel
+        self._commit_manifest(
+            {
+                **manifest,
+                "seq": manifest["seq"] + 1,
+                "buckets": new_buckets,
+                "deltas": {},
+                "committed_at": time.time(),
+                "compacted": affected,
+                "lineage": [],
+            }
+        )
+        if self.auto_vacuum_keep is not None:
+            self.vacuum(keep_manifests=self.auto_vacuum_keep)
+        return len(affected)
 
     # ---------------- pending store (strict-frontier mode) ----------------
 
@@ -543,10 +669,17 @@ class CowTable:
         (run rarely, like Iceberg's rewrite_data_files). Returns the number
         of tombstones actually dropped."""
         manifest = self.current_manifest()
-        all_buckets = [int(b) for b in manifest["buckets"]]
+        all_buckets = sorted(
+            {int(b) for b in manifest["buckets"]}
+            | {int(b) for b in (manifest.get("deltas") or {})}
+        )
         df = self._read_buckets(manifest, all_buckets)
         if df is None:
             return 0
+        if manifest.get("deltas"):
+            # MOR: resolve first — dropping a delta tombstone while an
+            # older base row survives would resurrect the dead row
+            df = self._resolve(self._with_all_data_cols(df))
         dead = F.col("__deleted") & (F.col("__commit_ts") < below_resolved_ts)
         df = df.persist()
         try:
@@ -570,6 +703,7 @@ class CowTable:
                 **manifest,
                 "seq": manifest["seq"] + 1,
                 "buckets": new_buckets,
+                "deltas": {},  # a GC rewrite folds deltas like a compact
                 "committed_at": time.time(),
                 "gc_below": below_resolved_ts,
                 "lineage": [],
@@ -591,19 +725,28 @@ class CowTable:
         for seq in live:
             m = self._read_manifest(seq)
             referenced.update(m.get("buckets", {}).values())
+            for rels in (m.get("deltas") or {}).values():
+                referenced.update(rels)
             if m.get("pending"):
                 pending_refs.add(m["pending"])
         removed = 0
-        data_root = f"{self.root}/data"
-        if os.path.isdir(data_root):
+        for top in ("data", "delta"):
+            data_root = f"{self.root}/{top}"
+            if not os.path.isdir(data_root):
+                continue
             for batch_dir in os.listdir(data_root):
                 for bucket_dir in os.listdir(f"{data_root}/{batch_dir}"):
-                    rel = f"data/{batch_dir}/{bucket_dir}"
+                    rel = f"{top}/{batch_dir}/{bucket_dir}"
                     if bucket_dir.startswith("bucket=") and rel not in referenced:
                         shutil.rmtree(f"{self.root}/{rel}", ignore_errors=True)
                         removed += 1
-                if not os.listdir(f"{data_root}/{batch_dir}"):
-                    os.rmdir(f"{data_root}/{batch_dir}")
+                # remove a batch dir once no bucket remains (stray
+                # _SUCCESS / committed-markers don't keep it alive)
+                if not any(
+                    d.startswith("bucket=")
+                    for d in os.listdir(f"{data_root}/{batch_dir}")
+                ):
+                    shutil.rmtree(f"{data_root}/{batch_dir}", ignore_errors=True)
         pend_root = f"{self.root}/pending"
         if os.path.isdir(pend_root):
             for d in os.listdir(pend_root):
