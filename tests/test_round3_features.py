@@ -352,6 +352,73 @@ def test_mor_gc_does_not_resurrect(spark, tmp_path):
     assert table.snapshot().count() == 0, "gc resurrected a deleted row"
 
 
+def test_changefeed_metrics(spark, tmp_path):
+    """Per-epoch metrics derive from manifest-committed lineage: applied
+    counts per epoch, monotone resolved-ts, commit intervals."""
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=40, seed=41)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+        registry=default_registry(spec.ddl_ts), max_files_per_trigger=2,
+    )
+    feed.run_available_now()
+    rows = feed.metrics().collect()
+    assert len(rows) >= 2
+    assert sum(r["applied_events"] for r in rows) > 0
+    resolved = [r["resolved_ts"] for r in rows]
+    assert all(a <= b for a, b in zip(resolved, resolved[1:]))
+    assert all(r["commit_interval_sec"] is None or r["commit_interval_sec"] >= 0
+               for r in rows)
+
+
+def test_change_data_feed_cascade(spark, tmp_path):
+    """Time travel + change data feed (Iceberg incremental read / Delta
+    CDF analog): the row-level changes between two table snapshots replay
+    into a SECOND table and reproduce the first — tables can cascade into
+    downstream changefeeds. Also: changes_between(-1, n) is the full
+    initial load."""
+    import glob
+
+    from tests.test_e2e_replay import table_state
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+
+    spec = GenSpec(n_convs=50, seed=31)
+    events_dir = str(tmp_path / "events")
+    paths = write_epoch_files(spark, spec, events_dir)
+    a = CowTable(spark, str(tmp_path / "a"), n_buckets=4)
+    reg = default_registry(spec.ddl_ts)
+    for i, p in enumerate(paths):
+        apply_epoch(a, reg, spark.read.parquet(p), batch_id=i)
+    seq_mid = a._manifest_seqs()[1]   # after the second epoch
+    seq_end = a.current_manifest()["seq"]
+
+    # time travel reads a consistent older state
+    mid_rows = a.snapshot(as_of_seq=seq_mid).count()
+    assert 0 < mid_rows
+
+    # cascade: seed B at the mid snapshot, stream the CDF, states converge
+    b = CowTable(spark, str(tmp_path / "b"), n_buckets=4)
+    b.bootstrap(a.snapshot(as_of_seq=seq_mid), as_of_ts=0)
+    cdf = a.changes_between(seq_mid, seq_end).withColumn(
+        "source_partition", F.lit(0)
+    )
+    b.merge(cdf, batch_id=1)
+    assert table_state(b) == table_state(a)
+
+    # full-load form: CDF from the empty table reproduces A from scratch
+    c = CowTable(spark, str(tmp_path / "c"), n_buckets=4)
+    full = a.changes_between(-1, seq_end).withColumn("source_partition", F.lit(0))
+    c.merge(full, batch_id=0)
+    assert table_state(c) == table_state(a)
+
+
 def test_keylocal_epochs_prune_buckets(spark, tmp_path):
     """Range bucketing + key-local epochs = bucket pruning: each epoch's
     merge must touch only the buckets its conv range maps to (here <=4 of

@@ -295,10 +295,23 @@ class CowTable:
         fields += ["__commit_ts LONG", "__start_ts LONG", "__op_order INT", "__deleted BOOLEAN"]
         return ", ".join(fields)
 
-    def snapshot(self, include_tombstones: bool = False) -> DataFrame:
-        """Current table state. Public view: tombstones filtered, internal
-        columns dropped."""
-        manifest = self.current_manifest()
+    def snapshot(
+        self, include_tombstones: bool = False, as_of_seq: int | None = None
+    ) -> DataFrame:
+        """Table state. Public view: tombstones filtered, internal columns
+        dropped. ``as_of_seq`` time-travels to an older manifest (Iceberg
+        snapshot read) — valid while vacuum still retains its data files
+        (``keep_manifests`` is the retention window)."""
+        if as_of_seq is not None:
+            # seq -1 = the empty table before the first commit (lets
+            # changes_between(-1, n) emit the full initial load)
+            manifest = (
+                self._read_manifest(as_of_seq)
+                if as_of_seq >= 0
+                else {"buckets": {}, "deltas": {}}
+            )
+        else:
+            manifest = self.current_manifest()
         all_buckets = sorted(
             {int(b) for b in manifest["buckets"]}
             | {int(b) for b in (manifest.get("deltas") or {})}
@@ -543,6 +556,48 @@ class CowTable:
             if int(k) not in set(affected)
         }
         return commit(new_buckets, n_events, len(affected), deltas=remaining_deltas)
+
+    def changes_between(self, from_seq: int, to_seq: int | None = None) -> DataFrame:
+        """Change data feed (Iceberg incremental read / Delta CDF / Paimon
+        changelog analog): the row-level changes between two committed
+        snapshots, as change events ready to feed ANOTHER changefeed —
+        op I (new or changed key, new image, versioned at its commit) and
+        op D (key deleted). One full-outer key join of the two time-travel
+        reads; both sides are bucket-pruned scans. Valid while vacuum
+        retains ``from_seq``'s files."""
+        to_seq = to_seq if to_seq is not None else self.current_manifest()["seq"]
+        old = self.snapshot(include_tombstones=True, as_of_seq=from_seq)
+        new = self.snapshot(include_tombstones=True, as_of_seq=to_seq)
+        o = old.select(
+            *self.key_cols,
+            *[F.col(c).alias(f"_o_{c}") for c in (*self.data_cols, *VERSION_COLS, "__deleted")],
+            F.lit(True).alias("_in_o"),
+        )
+        n = new.select(
+            *self.key_cols, *self.data_cols, *VERSION_COLS, "__deleted",
+            F.lit(True).alias("_in_n"),
+        )
+        j = n.join(o, on=list(self.key_cols), how="full_outer")
+        changed = (
+            F.col("_in_o").isNull()
+            | ~F.col("__commit_ts").eqNullSafe(F.col("_o___commit_ts"))
+            | ~F.col("__start_ts").eqNullSafe(F.col("_o___start_ts"))
+            | ~F.col("__op_order").eqNullSafe(F.col("_o___op_order"))
+        )
+        live_now = F.col("_in_n").isNotNull() & ~F.col("__deleted")
+        was_live = F.col("_in_o").isNotNull() & ~F.col("_o___deleted")
+        return (
+            j.filter(changed)
+            # emit only externally-visible transitions (live-state change)
+            .filter(live_now | was_live)
+            .select(
+                F.when(live_now, F.lit("I")).otherwise(F.lit("D")).alias("op"),
+                F.coalesce(F.col("__commit_ts"), F.col("_o___commit_ts")).alias("commit_ts"),
+                F.coalesce(F.col("__start_ts"), F.col("_o___start_ts")).alias("start_ts"),
+                *self.key_cols,
+                *self.data_cols,
+            )
+        )
 
     def compact(self) -> int:
         """Fold outstanding delta files back into the base (the LSM

@@ -297,6 +297,34 @@ class Changefeed:
         finally:
             batch.unpersist()
 
+    def metrics(self) -> DataFrame:
+        """Per-epoch changefeed metrics — the reference's per-changefeed
+        Grafana counters (applied event counts, resolved-ts, checkpoint
+        lag) as a DataFrame, derived from the table's manifest-committed
+        lineage plus the in-memory batch log. Single-table feeds."""
+        from pyspark.sql.window import Window
+
+        assert self.table is not None, "metrics() is per-table; use tables[name]"
+        lineage = self.table.lineage().groupBy("batch_id").agg(
+            F.sum("applied_events").alias("applied_events"),
+            F.count(F.lit(1)).alias("n_source_partitions"),
+        )
+        # resolved_ts from the manifest history: the carried-forward GLOBAL
+        # watermark (monotone), not the per-batch partition minimum
+        epochs = self.table.epochs().groupBy("batch_id").agg(
+            F.max("committed_at").alias("committed_at"),
+            F.max("resolved_ts").alias("resolved_ts"),
+        )
+        return (
+            lineage.join(epochs, "batch_id", "left")
+            .withColumn(
+                "commit_interval_sec",
+                F.col("committed_at")
+                - F.lag("committed_at").over(Window.orderBy("batch_id")),
+            )
+            .orderBy("batch_id")
+        )
+
     def synced(self, lag_threshold: int = 0) -> bool:
         """`synced` status check analog (/root/reference/cdc/owner/
         changefeed.go:972): the feed is synced iff the applied resolved-ts
