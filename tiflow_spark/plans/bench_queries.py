@@ -408,6 +408,31 @@ def q_cdc_csv_encode(spark, sf_dir):
     return csv_encode(ce, table="transcripts")
 
 
+def q_cdc_change_data_feed(spark, sf_dir):
+    """Change-data-feed read under the oracle: replay the full log into a
+    table, then ``changes_between(-1, current)`` — the CDF from the empty
+    snapshot — must equal the LWW-surviving live rows as INSERT events
+    versioned at their winning commit_ts."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    root = _PIPELINE_ROOTS.get(sf_dir + "#cdf")
+    if root is None:
+        root = tempfile.mkdtemp(prefix="tiflow_cdf_q_")
+        _PIPELINE_ROOTS[sf_dir + "#cdf"] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    table = CowTable(
+        spark, root, n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    apply_epoch(table, registry, ce, batch_id=0)
+    cdf = table.changes_between(-1, table.current_manifest()["seq"])
+    return cdf.select("op", "commit_ts", "conv_id", "turn_idx", "role", "text", "tool")
+
+
 def q_cdc_repair_batch(spark, sf_dir):
     """sync_diff fix generation under the oracle: expected = LWW final
     state; actual = expected with a deterministic corruption (every conv
@@ -601,6 +626,7 @@ QUERIES = {
     "cdc_event_filter": q_cdc_event_filter,
     "cdc_preimage_filter": q_cdc_preimage_filter,
     "cdc_pipeline_snapshot": q_cdc_pipeline_snapshot,
+    "cdc_change_data_feed": q_cdc_change_data_feed,
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
     "cdc_csv_encode": q_cdc_csv_encode,
@@ -854,6 +880,23 @@ _PIPELINE_SNAPSHOT_SQL = f"""
   FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
+# CDF from the empty snapshot = every live LWW winner as an INSERT event
+# versioned at its winning commit_ts
+_CDF_SQL = f"""
+  WITH ce AS ({CE_PAYLOAD_SQL}),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY commit_ts DESC, start_ts DESC, {OP_ORDER_SQL} DESC) AS rn
+    FROM ce)
+  SELECT 'I' AS op, commit_ts, conv_id, turn_idx,
+         json_extract_string(payload, '$.role') AS role,
+         json_extract_string(payload, '$.text') AS text,
+         CASE WHEN schema_version >= 2
+              THEN json_extract_string(payload, '$.tool') END AS tool
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
 _PREIMAGE_FILTER_SQL = f"""
   WITH ce AS ({CE_PAYLOAD_SQL})
   SELECT op, conv_id, turn_idx, commit_ts,
@@ -927,6 +970,7 @@ ORACLES = {
     """,
     "cdc_preimage_filter": _PREIMAGE_FILTER_SQL,
     "cdc_pipeline_snapshot": _PIPELINE_SNAPSHOT_SQL,
+    "cdc_change_data_feed": _CDF_SQL,
     "cdc_checksum_chunks": f"""
       WITH ce AS ({CE_SQL})
       SELECT CAST(commit_ts % 16 AS INT) AS chunk, count(*) AS cnt,

@@ -162,6 +162,46 @@ def mq_schema_versions(frame: DataFrame) -> list[tuple[int, int, str]]:
     )
 
 
+def replay_mq(
+    spark,
+    mq_dir: str,
+    table,
+    data_schema: str,
+    gate_on_watermark: bool = True,
+) -> dict:
+    """The kafka-consumer loop as a first-class API
+    (/root/reference/cmd/kafka-consumer/main.go:36): read every MQ batch
+    directory, decode the canal-JSON envelope, optionally gate application
+    at the stream's consumer watermark (min over partitions of the newest
+    TIDB_WATERMARK — rows above it may still be reordered by un-consumed
+    partitions), and merge into ``table`` exactly-once-in-effect (one merge
+    per consumer run, fenced by the table's own batch id; re-running
+    re-merges idempotently). Returns {"watermark", "applied", "skipped_above_watermark"}.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    paths = sorted(_glob.glob(f"{mq_dir}/batch=*"))
+    if not paths:
+        return {"watermark": None, "applied": 0, "skipped_above_watermark": 0}
+    frame = spark.read.parquet(*paths)
+    wm = mq_resolved_ts(frame) if gate_on_watermark else None
+    rows = canal_json_decode(frame, data_schema).withColumn(
+        "start_ts", F.col("commit_ts") - 1
+    ).withColumn("source_partition", F.lit(0))
+    skipped = 0
+    if wm is not None:
+        skipped = rows.filter(F.col("commit_ts") > wm).count()
+        rows = rows.filter(F.col("commit_ts") <= wm)
+    stats = table.merge(rows, batch_id=table.last_committed_batch() + 1)
+    return {
+        "watermark": wm,
+        "applied": int(stats.applied_events),
+        "skipped_above_watermark": int(skipped),
+    }
+
+
 def write_mq_files(frame: DataFrame, out_dir: str) -> None:
     """File-backed stand-in for the broker: one dir per partition, ordered
     within by the consumer's replay sort."""
