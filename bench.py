@@ -230,9 +230,17 @@ def main() -> None:
     timings["cdc_replay"] = replay["seconds"]
     # measured and reported under their own keys; NOT in the headline sum
     # (the headline stays comparable across rounds as queries grow)
-    stream = run_cdc_stream(spark, replay_convs, workdir)
-    stream_mor = run_cdc_stream_mor(spark, replay_convs, workdir)
-    stream_keylocal = run_cdc_stream_keylocal(spark, replay_convs, workdir)
+    # auxiliary stream variants must never kill the headline record —
+    # degrade to an error marker instead
+    def _guarded(fn):
+        try:
+            return fn(spark, replay_convs, workdir)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    stream = _guarded(run_cdc_stream)
+    stream_mor = _guarded(run_cdc_stream_mor)
+    stream_keylocal = _guarded(run_cdc_stream_keylocal)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -371,8 +371,11 @@ def test_changefeed_metrics(spark, tmp_path):
     rows = feed.metrics().collect()
     assert len(rows) >= 2
     assert sum(r["applied_events"] for r in rows) > 0
-    resolved = [r["resolved_ts"] for r in rows]
-    assert all(a <= b for a, b in zip(resolved, resolved[1:]))
+    # the watermark is NOT globally monotone across epochs: a later
+    # microbatch that first introduces a straggler partition may
+    # legitimately lower it (_advance_frontiers docstring). The invariant
+    # that does hold: the last row reports the table's current watermark.
+    assert rows[-1]["resolved_ts"] == table.current_manifest()["resolved_ts"]
     assert all(r["commit_interval_sec"] is None or r["commit_interval_sec"] >= 0
                for r in rows)
 
