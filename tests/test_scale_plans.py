@@ -81,6 +81,39 @@ def test_topk_final_rank_is_two_stage(spark):
         assert "SPARK_PARTITION_ID" in plan.upper(), plan
 
 
+def test_mor_resolve_uses_partial_aggregation(spark, tmp_path):
+    """The merge-on-read per-key resolve must map-side combine (same
+    property as the LWW core): at 100 TB a read amplifying into a
+    shuffle-everything final aggregate would be the MOR tax nobody pays."""
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    t = CowTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    df = spark.createDataFrame(
+        [("a", 0, "u", "x", 1, 0, 1, False)],
+        "conv_id STRING, turn_idx INT, role STRING, text STRING, "
+        "__commit_ts LONG, __start_ts LONG, __op_order INT, __deleted BOOLEAN",
+    )
+    plan = plan_of(t._resolve(df))
+    assert "partial_max_by" in plan, plan
+
+
+def test_repair_and_cdf_joins_are_key_joins(spark, tmp_path):
+    """The sync-diff repair generator and the change-data-feed diff are
+    full-outer KEY joins — never a cartesian product."""
+    from tiflow_spark.operators.validate import make_repair_batch
+
+    e = spark.range(100).selectExpr(
+        "cast(id as string) conv_id", "0 turn_idx", "'u' role", "'t' text"
+    )
+    plan = plan_of(
+        make_repair_batch(e, e.limit(50), ["conv_id", "turn_idx"],
+                          ["role", "text"], 10)
+    )
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
 def test_lsh_join_is_hash_join_on_bucket(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
