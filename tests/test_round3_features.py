@@ -334,6 +334,50 @@ def test_mor_auto_compact_bounds_deltas(spark, tmp_path):
     assert_matches_oracle(table, oracle_state(spark, spec))
 
 
+def test_mor_restart_from_checkpoint(spark, tmp_path):
+    """Exactly-once under restart, MOR sink: stop mid-stream, resume from
+    the same SS checkpoint, force a replayed epoch via a direct re-merge —
+    the fence + per-key resolve absorb everything and the final state
+    matches the oracle (the north rule's core property, now for the
+    delta-append write path too)."""
+    from tests.test_e2e_replay import assert_matches_oracle, oracle_state
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=60, seed=61)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                     auto_compact_deltas=3, auto_vacuum_keep=3)
+    reg = default_registry(spec.ddl_ts)
+
+    partial = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_000[0-2]",
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+        registry=reg, max_files_per_trigger=2,
+    )
+    partial.run_available_now()
+    assert table.last_committed_batch() >= 0
+
+    full = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+        registry=reg, max_files_per_trigger=2,
+    )
+    full.run_available_now()
+    oracle = oracle_state(spark, spec)
+    assert_matches_oracle(table, oracle)
+
+    # forced epoch replay: re-merging an already-committed batch id is a
+    # fenced no-op even though MOR never reconciles on write
+    some = spark.read.parquet(f"{events_dir}/epoch_0001")
+    from tiflow_spark.plans.pipeline import apply_epoch
+
+    res = apply_epoch(table, reg, some, batch_id=0)
+    assert res.stats.skipped
+    assert_matches_oracle(table, oracle)
+
+
 def test_mor_gc_does_not_resurrect(spark, tmp_path):
     """MOR + tombstone GC: a delete living in a DELTA over an insert in the
     BASE must not resurrect the base row when the tombstone is dropped —
