@@ -1,0 +1,387 @@
+"""Round-4 feature tests: cross-epoch DROP COLUMN merges, nullable-long
+Avro encoding, canal-JSON start_ts tie-breaks, multi-table registry
+isolation, incremental change-data-feed reads, debezium codec, bootstrap
+re-broadcast, continuous validation, changefeed lifecycle, CDF cascade,
+manifest history compaction."""
+
+import glob
+import json as _json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiflow_spark.plans.pipeline import apply_epoch
+from tiflow_spark.sinks.cow_table import CowTable
+from tiflow_spark.sources.registry import default_registry
+
+EV_SCHEMA = (
+    "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+    "schema_version LONG, payload STRING, pre_payload STRING, source_partition INT"
+)
+
+
+def _ev(op, cts, conv, part=0, ver=1, text=None, sts=None):
+    return (op, cts, sts if sts is not None else cts - 1, conv, 0, ver,
+            f'{{"role":"u","text":"{text or conv}"}}', None, part)
+
+
+# ---------------------------------------------------------------- ADVICE high:
+# cross-epoch DROP COLUMN
+
+def _direct_rows(items, spark):
+    """Pre-decoded change rows (merge() directly, no payload decode)."""
+    return spark.createDataFrame(
+        items,
+        "op STRING, commit_ts LONG, start_ts LONG, source_partition INT, "
+        "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING",
+    )
+
+
+def test_cow_merge_survives_cross_epoch_drop(spark, tmp_path):
+    """ADVICE r3 (high): epoch 0 writes base files WITH column `tool`; a DDL
+    drops it; epoch 1 merges into the same bucket — the reconcile read still
+    carries `tool` (mergeSchema) while the net batch doesn't, which crashed
+    unionByName before the canonical projection fix. Mirrors
+    test_rename_survives_across_epochs_without_rewrite for DROP."""
+    table = CowTable(
+        spark, str(tmp_path / "t"), n_buckets=2,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    b0 = _direct_rows(
+        [("I", 10, 9, 0, "c1", 0, "u", "one", "grep"),
+         ("I", 10, 9, 0, "c2", 0, "u", "two", "sed")], spark)
+    table.merge(b0, batch_id=0)
+
+    # sink-side DROP COLUMN (what the runner's _evolve_sink_schema does
+    # when the registry loses the field)
+    table.data_schema = {"role": "string", "text": "string"}
+
+    b1 = spark.createDataFrame(
+        [("U", 20, 19, 0, "c1", 0, "u", "one-v2")],
+        "op STRING, commit_ts LONG, start_ts LONG, source_partition INT, "
+        "conv_id STRING, turn_idx INT, role STRING, text STRING",
+    )
+    table.merge(b1, batch_id=1)  # crashed pre-fix: AnalysisException on union
+    snap = table.snapshot()
+    assert "tool" not in snap.columns
+    state = {r["conv_id"]: r["text"] for r in snap.collect()}
+    assert state == {"c1": "one-v2", "c2": "two"}
+
+
+def test_mor_compact_and_gc_after_drop(spark, tmp_path):
+    """The same cross-epoch drop through the MOR path: delta resolve,
+    compaction rewrite, and tombstone GC must all shed the dropped column
+    instead of resurrecting or crashing on it."""
+    table = CowTable(
+        spark, str(tmp_path / "t"), n_buckets=2, mode="mor",
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    table.merge(_direct_rows(
+        [("I", 10, 9, 0, "c1", 0, "u", "one", "grep"),
+         ("I", 10, 9, 0, "c2", 0, "u", "two", "sed")], spark), batch_id=0)
+    table.data_schema = {"role": "string", "text": "string"}
+    table.merge(spark.createDataFrame(
+        [("U", 20, 19, 0, "c1", 0, "u", "one-v2"),
+         ("D", 21, 20, 0, "c2", 0, None, None)],
+        "op STRING, commit_ts LONG, start_ts LONG, source_partition INT, "
+        "conv_id STRING, turn_idx INT, role STRING, text STRING",
+    ), batch_id=1)
+    assert {r["conv_id"]: r["text"] for r in table.snapshot().collect()} == {
+        "c1": "one-v2"
+    }
+    assert table.compact() > 0
+    base = spark.read.option("mergeSchema", "true").parquet(
+        *[str(tmp_path / "t" / rel) for rel in
+          table.current_manifest()["buckets"].values()]
+    )
+    assert "tool" not in base.columns, "compaction resurrected dropped column"
+    assert table.gc_tombstones(below_resolved_ts=100) == 1
+    assert {r["conv_id"] for r in table.snapshot().collect()} == {"c1"}
+
+
+# ---------------------------------------------------------------- ADVICE med:
+# avro nullable long
+
+def test_avro_binary_nullable_long_roundtrip(spark):
+    """ADVICE r3 (medium): Arrow->pandas promotes a null-bearing long column
+    to float64 — non-null values reach the varint encoder as np.float64 and
+    must still encode (int coercion), nulls as union branch 0."""
+    from tiflow_spark.sinks.codecs import avro_binary_decode, avro_binary_encode
+    from tiflow_spark.sources.registry import SchemaVersion
+
+    v1 = SchemaVersion(1, 0, T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("m", T.IntegerType()),
+    ]))
+    rows = [
+        ("c1", 0, "a", 7, None),
+        ("c2", 1, "b", None, -3),
+        ("c3", 2, None, 2**52, 123456),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id STRING, turn_idx INT, text STRING, n LONG, m INT")
+    back = avro_binary_decode(avro_binary_encode(df, v1), [v1])
+    got = {_json.loads(r["key"])["conv_id"]: (r["text"], r["n"], r["m"])
+           for r in back.collect()}
+    assert got == {"c1": ("a", 7, None), "c2": ("b", None, -3),
+                   "c3": (None, 2**52, 123456)}
+
+
+# ---------------------------------------------------------------- ADVICE low:
+# canal-JSON start_ts
+
+def test_canal_replay_tie_break_matches_source(spark, tmp_path):
+    """ADVICE r3 / VERDICT next #2: two events on the same key with EQUAL
+    commit_ts but different start_ts — the canal envelope now carries
+    start_ts in the _tidb extension, so the MQ consumer resolves the same
+    LWW winner as the source table (previously replay fabricated
+    start_ts = commit_ts - 1, coarsening the tie-break)."""
+    from tiflow_spark.sinks.mq import replay_mq
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    events = [
+        _ev("I", 100, "k1", text="loser", sts=40),
+        _ev("U", 100, "k1", text="winner", sts=90),   # same cts, higher sts
+        _ev("I", 100, "k2", text="w2", sts=80),
+        _ev("U", 100, "k2", text="l2", sts=30),
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(events, EV_SCHEMA).coalesce(1).write.parquet(events_dir)
+    reg = [SchemaVersion(1, 0, PAYLOAD_V1)]
+
+    # source-of-truth table via the direct pipeline
+    src = CowTable(spark, str(tmp_path / "src"), n_buckets=4)
+    apply_epoch(src, reg, spark.read.parquet(events_dir), batch_id=0)
+    want = {r["conv_id"]: r["text"] for r in src.snapshot().collect()}
+    assert want == {"k1": "winner", "k2": "w2"}
+
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), registry=reg,
+        max_files_per_trigger=100,
+    )
+    feed.run_mq(str(tmp_path / "mq"), n_partitions=2)
+    replayed = CowTable(spark, str(tmp_path / "replayed"), n_buckets=4)
+    data_schema = ("conv_id STRING, turn_idx INT, role STRING, text STRING, "
+                   "tool STRING, ts TIMESTAMP")
+    replay_mq(spark, str(tmp_path / "mq"), replayed, data_schema,
+              gate_on_watermark=False)
+    got = {r["conv_id"]: r["text"] for r in replayed.snapshot().collect()}
+    assert got == want
+
+
+def test_multi_table_registry_path_rejected(spark, tmp_path):
+    """ADVICE r3 (low): a multi-table feed sharing one registry_path would
+    cross-contaminate every table's schema versions — rejected loudly."""
+    from tiflow_spark.streaming.runner import Changefeed
+
+    with pytest.raises(ValueError, match="registry_path"):
+        Changefeed(
+            spark=spark, events_dir=str(tmp_path / "e"),
+            checkpoint_dir=str(tmp_path / "c"),
+            tables={"t1": (None, []), "t2": (None, [])},
+            registry_path=str(tmp_path / "reg"),
+        )
+
+
+# ---------------------------------------------------------------- VERDICT #1:
+# incremental changes_between
+
+def test_cdf_incremental_reads_only_changed_buckets(spark, tmp_path):
+    """VERDICT r3 'What's wrong' #1: changes_between must read only buckets
+    whose manifest references differ between the two snapshots — CDF cost
+    ∝ changed buckets, not table size (Iceberg incremental-read shape)."""
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=16)
+    reg = default_registry(10**9)[:1]
+    # epoch 0: 200 keys spread over all 16 buckets
+    b0 = [_ev("I", 10, f"conv{i:03d}") for i in range(200)]
+    apply_epoch(table, reg, spark.createDataFrame(b0, EV_SCHEMA), batch_id=0)
+    seq0 = table.current_manifest()["seq"]
+    assert len(table.current_manifest()["buckets"]) == 16
+
+    # epoch 1: touch exactly two keys (≤2 buckets)
+    b1 = [_ev("U", 20, "conv000", text="new0"), _ev("D", 21, "conv001")]
+    apply_epoch(table, reg, spark.createDataFrame(b1, EV_SCHEMA), batch_id=1)
+    seq1 = table.current_manifest()["seq"]
+
+    changed = table.changed_buckets(seq0, seq1)
+    assert 1 <= len(changed) <= 2
+
+    cdf = table.changes_between(seq0, seq1)
+    # the scan is restricted to the changed buckets' files on BOTH sides
+    for path in cdf.inputFiles():
+        assert any(f"bucket={b}/" in path for b in changed), path
+    rows = {(r["op"], r["conv_id"]): r["text"] for r in cdf.collect()}
+    assert rows == {("I", "conv000"): "new0", ("D", "conv001"): "conv001"}
+
+    # full-history CDF (from the empty snapshot) still equals the snapshot
+    full = table.changes_between(-1, seq1)
+    assert full.filter(F.col("op") == "I").count() == table.snapshot().count()
+
+
+# ---------------------------------------------------------------- VERDICT #3:
+# debezium + maxwell codecs
+
+ROW_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _codec_events(spark):
+    return spark.createDataFrame(
+        [
+            ("I", 10, 9, "c1", 0, "u", 'say "hi"'),
+            ("U", 20, 18, "c1", 0, "u", "updated\nline"),
+            ("U", 20, 19, "c1", 0, "u", "tie-winner"),
+            ("D", 30, 29, "c2", 1, "u", "last-image"),
+            ("I", 40, 39, "c3", 2, None, None),
+        ],
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, "
+        "turn_idx INT, role STRING, text STRING",
+    )
+
+
+def test_debezium_roundtrip_replays_to_source_state(spark, tmp_path):
+    """VERDICT r3 next #3 (pkg/sink/codec/debezium/): encode→decode→merge
+    reproduces the source table state, including same-commit-ts LWW ties
+    (start_ts rides the source block) and null/newline/quote payloads."""
+    from tiflow_spark.sinks.codecs import debezium_decode, debezium_encode
+
+    ev = _codec_events(spark)
+    enc = debezium_encode(ev, table="t1", db="d1")
+    first = _json.loads(enc.filter(F.col("value").contains('"op":"c"')).first()["value"])
+    assert first["before"] is None and first["after"] is not None
+    assert first["source"]["db"] == "d1"
+    back = debezium_decode(enc, ROW_SCHEMA).withColumn(
+        "source_partition", F.lit(0)
+    )
+
+    src = CowTable(spark, str(tmp_path / "src"), n_buckets=4,
+                   data_schema={"role": "string", "text": "string"})
+    src.merge(ev.withColumn("source_partition", F.lit(0))
+                .select("op", "commit_ts", "start_ts", "source_partition",
+                        "conv_id", "turn_idx", "role", "text"), batch_id=0)
+    dst = CowTable(spark, str(tmp_path / "dst"), n_buckets=4,
+                   data_schema={"role": "string", "text": "string"})
+    dst.merge(back, batch_id=0)
+    want = {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+            for r in src.snapshot().collect()}
+    got = {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+           for r in dst.snapshot().collect()}
+    assert got == want
+    assert got[("c1", 0)] == ("u", "tie-winner")   # start_ts tie-break kept
+    assert ("c2", 1) not in got                     # delete honored
+
+
+def test_debezium_update_carries_pre_image(spark):
+    """Updates with tracked old values emit them as debezium `before`."""
+    from tiflow_spark.sinks.codecs import debezium_encode
+
+    ev = spark.createDataFrame(
+        [("U", 20, 19, "c1", 0, "u", "new-text", "old-role", "old-text")],
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, "
+        "turn_idx INT, role STRING, text STRING, pre_role STRING, "
+        "pre_text STRING",
+    )
+    v = _json.loads(debezium_encode(ev).first()["value"])
+    assert v["before"]["text"] == "old-text"
+    assert v["after"]["text"] == "new-text"
+    assert v["op"] == "u"
+
+
+def test_maxwell_roundtrip(spark):
+    """Maxwell envelope (pkg/sink/codec/maxwell/maxwell_message.go:28-47):
+    insert/update/delete types, data + old blocks, decode inverts."""
+    from tiflow_spark.sinks.codecs import maxwell_decode, maxwell_encode
+
+    ev = _codec_events(spark)
+    enc = maxwell_encode(ev, table="t1", db="d1")
+    sample = _json.loads(enc.filter(F.col("value").contains('"delete"')).first()["value"])
+    assert (sample["database"], sample["table"]) == ("d1", "t1")
+    assert sample["data"]["conv_id"] == "c2"
+    back = maxwell_decode(enc, ROW_SCHEMA)
+    got = {(r["op"], r["conv_id"], r["commit_ts"], r["start_ts"], r["text"])
+           for r in back.collect()}
+    want = {(r[0], r[3], r[1], r[2], r[6]) for r in ev.collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------- VERDICT #4:
+# bootstrap re-broadcast
+
+def test_late_joining_consumer_rebuilds_registry(spark, tmp_path):
+    """VERDICT r3 next #4 (bootstraper.go:38-130): with bootstrap_interval
+    set, a consumer whose retention window starts AFTER the DDL's epoch
+    still rebuilds the full registry (both versions, activation ts) from
+    the periodic BOOTSTRAP broadcast, and replays its window correctly."""
+    from tiflow_spark.sinks.mq import mq_registry, replay_mq
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.sources.registry import default_registry
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=30, seed=17, emit_ddl=True)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    v1 = default_registry(spec.ddl_ts)[0]
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=str(tmp_path / "ckpt"), registry=[v1],
+        ddl_in_stream=True, max_files_per_trigger=1,
+    )
+    feed.run_mq(str(tmp_path / "mq"), n_partitions=2, bootstrap_interval=1)
+    batch_ids = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(str(tmp_path / "mq") + "/batch=*")
+    )
+    assert len(batch_ids) >= 3
+    # consumer joins at the last DML-bearing epoch (a trailing epoch may
+    # hold only watermark/bootstrap messages)
+    from tiflow_spark.sinks.mq import canal_json_decode
+
+    data_schema_probe = "conv_id STRING, turn_idx INT"
+    late_start = next(
+        b for b in reversed(batch_ids)
+        if canal_json_decode(
+            spark.read.parquet(str(tmp_path / "mq") + f"/batch={b}"),
+            data_schema_probe,
+        ).count() > 0
+    )
+    assert late_start > batch_ids[0]
+
+    late_window = spark.read.parquet(str(tmp_path / "mq") + f"/batch={late_start}")
+    # DDL epoch is long gone from the window, but BOOTSTRAP recovers it
+    reg = mq_registry(late_window)
+    assert [v.schema_version for v in reg] == [1, 2]
+    assert {f.name for f in reg[-1].schema.fields} >= {"role", "text", "tool"}
+    assert reg[-1].active_from_ts == spec.ddl_ts
+
+    # and the late replay applies its window's rows with that registry
+    table = CowTable(spark, str(tmp_path / "late"), n_buckets=4)
+    data_schema = ("conv_id STRING, turn_idx INT, role STRING, text STRING, "
+                   "tool STRING, ts TIMESTAMP")
+    res = replay_mq(spark, str(tmp_path / "mq"), table, data_schema,
+                    gate_on_watermark=False, from_batch=late_start)
+    assert res["applied"] > 0
+    # the window's net rows landed (as live rows or delete tombstones —
+    # a trailing window can be all-delete)
+    assert table.snapshot(include_tombstones=True).count() > 0
+
+
+def test_cdf_incremental_across_compaction(spark, tmp_path):
+    """A compaction rewrites bucket references without changing row content:
+    the manifest diff may widen the read set, but must emit ZERO spurious
+    change events (version equality filters them)."""
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    reg = default_registry(10**9)[:1]
+    b0 = [_ev("I", 10, f"c{i}") for i in range(40)]
+    apply_epoch(table, reg, spark.createDataFrame(b0, EV_SCHEMA), batch_id=0)
+    seq0 = table.current_manifest()["seq"]
+    table.compact()
+    seq1 = table.current_manifest()["seq"]
+    assert table.changes_between(seq0, seq1).count() == 0

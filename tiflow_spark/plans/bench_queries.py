@@ -408,6 +408,20 @@ def q_cdc_csv_encode(spark, sf_dir):
     return csv_encode(ce, table="transcripts")
 
 
+def q_cdc_debezium_encode(spark, sf_dir):
+    """Debezium envelope encoding under the oracle — text is salted with a
+    quote so the JSON string-escaping path is exercised on every row;
+    deletes carry their last image in `before` with `after:null`, creates
+    the reverse (reference debezium/codec.go:1021-1043 op codes)."""
+    from tiflow_spark.sinks.codecs import debezium_encode
+
+    ce = change_events(spark, sf_dir).select(
+        "op", "commit_ts", "start_ts", "conv_id", "turn_idx", "role",
+        F.concat(F.lit('q"'), F.col("text")).alias("text"),
+    )
+    return debezium_encode(ce, table="transcripts", db="test")
+
+
 def q_cdc_change_data_feed(spark, sf_dir):
     """Change-data-feed read under the oracle: replay the full log into a
     table, then ``changes_between(-1, current)`` — the CDF from the empty
@@ -630,6 +644,7 @@ QUERIES = {
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
     "cdc_csv_encode": q_cdc_csv_encode,
+    "cdc_debezium_encode": q_cdc_debezium_encode,
     "cdc_repair_batch": q_cdc_repair_batch,
     "cdc_binlog_filter": q_cdc_binlog_filter,
     "cdc_route_tables": q_cdc_route_tables,
@@ -1000,6 +1015,32 @@ ORACLES = {
                      ELSE '"' || replace(text, '"', '""') || '"' END
         AS line
       FROM t
+    """,
+    # debezium envelope assembly: struct-order JSON with explicit nulls
+    # (ignoreNullFields=false on the Spark side), text salted with a quote
+    # so escaping is exercised; row image order conv_id, turn_idx, role, text
+    "cdc_debezium_encode": f"""
+      WITH ce AS ({CE_SQL}),
+      t AS (SELECT op, commit_ts, start_ts, conv_id, turn_idx, role,
+                   'q"' || text AS text
+            FROM ce),
+      j AS (SELECT *,
+              '{{"conv_id":"' || conv_id || '","turn_idx":'
+              || CAST(turn_idx AS VARCHAR) || ',"role":"' || role
+              || '","text":"' || replace(text, '"', '\\"') || '"}}' AS row_json,
+              '{{"connector":"tiflow-spark","db":"test","table":"transcripts","commit_ts":'
+              || CAST(commit_ts AS VARCHAR) || ',"start_ts":'
+              || CAST(start_ts AS VARCHAR) || '}}' AS src_json
+            FROM t)
+      SELECT
+        '{{"conv_id":"' || conv_id || '","turn_idx":'
+          || CAST(turn_idx AS VARCHAR) || '}}' AS key,
+        '{{"before":' || CASE WHEN op = 'D' THEN row_json ELSE 'null' END
+          || ',"after":' || CASE WHEN op = 'D' THEN 'null' ELSE row_json END
+          || ',"source":' || src_json
+          || ',"op":"' || CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END
+          || '","ts_ms":' || CAST(commit_ts AS VARCHAR) || '}}' AS value
+      FROM j
     """,
     # repair generation: expected = LWW survivors; actual = deterministic
     # corruption (convs ending '3' dropped, turn 7 mutated, phantom key);

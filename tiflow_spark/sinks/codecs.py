@@ -278,7 +278,10 @@ def _avro_field_codecs(version: SchemaVersion):
     for f in version.schema.fields:
         t = f.dataType.simpleString()
         if t in ("bigint", "int"):
-            enc = _zigzag
+            # Arrow->pandas promotes a nullable int column to float64, so
+            # non-null values arrive as np.float64 — coerce to Python int
+            # (also avoids np.int64 shift wraparound in _zigzag)
+            enc = lambda v: _zigzag(int(v))  # noqa: E731
             dec = _avro_read_varint
         elif t == "double":
             enc = lambda v: _struct.pack("<d", v)  # noqa: E731
@@ -340,7 +343,9 @@ def avro_binary_encode(
             for row in zip(*cols):
                 body = bytearray(frame_prefix)
                 for (name, enc, _), v in zip(codecs, row):
-                    if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
+                    # pd.isna covers None, np.nan (float-promoted nullable
+                    # ints), NaT, and pd.NA generically; scalars only here
+                    if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
                         body += _zigzag(0)  # union branch: null
                     else:
                         body += _zigzag(1) + enc(v)
@@ -397,6 +402,189 @@ def avro_binary_decode(frame: DataFrame, registry: list[SchemaVersion]) -> DataF
             yield out
 
     return frame.mapInPandas(decode, schema=out_schema)
+
+
+# ---------------------------------------------------------------- debezium
+
+def debezium_encode(
+    decoded: DataFrame,
+    table: str = "transcripts",
+    db: str = "test",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Debezium JSON envelope (reference /root/reference/pkg/sink/codec/
+    debezium/codec.go:979-1043): payload {before, after, source, op, ts_ms}
+    with op codes c/u/d, before=null for creates, after=null for deletes,
+    and the source block carrying db/table/commit_ts (codec.go:985-1005).
+    ``start_ts`` rides the source block as an engine extension (same reason
+    the open-protocol key carries sts: the LWW tie-break needs it on
+    replay). ts_ms is the logical commit_ts directly — the reference
+    converts TSO→wall-clock ms (codec.go:979), which has no analog for a
+    synthetic logical clock.
+
+    One JVM ``to_json`` projection (ignoreNullFields=false so absent images
+    render as JSON null, as debezium consumers expect); nothing per-row."""
+    data_cols = _data_cols(decoded, key_cols)
+    after_s = F.struct(
+        *[F.col(c) for c in key_cols], *[F.col(c) for c in data_cols]
+    )
+    # old image: pre_<col> columns where the pipeline tracked them (update
+    # old-value), the current columns otherwise (delete rows carry their
+    # last image in the reference's PreColumns)
+    pre_avail = [c for c in data_cols if f"pre_{c}" in decoded.columns]
+    pre_s = F.struct(
+        *[F.col(c) for c in key_cols],
+        *[
+            (F.col(f"pre_{c}") if c in pre_avail else F.col(c)).alias(c)
+            for c in data_cols
+        ],
+    )
+    null_s = F.when(F.lit(False), after_s)  # typed NULL of the row struct
+    before = (
+        F.when(F.col("op") == "D", pre_s)
+        .when((F.col("op") == "U") & F.lit(bool(pre_avail)), pre_s)
+        .otherwise(null_s)
+    )
+    source = F.struct(
+        F.lit("tiflow-spark").alias("connector"),
+        F.lit(db).alias("db"),
+        F.lit(table).alias("table"),
+        F.col("commit_ts").alias("commit_ts"),
+        F.col("start_ts").alias("start_ts"),
+    )
+    value = F.to_json(
+        F.struct(
+            before.alias("before"),
+            F.when(F.col("op") == "D", null_s).otherwise(after_s).alias("after"),
+            source.alias("source"),
+            F.when(F.col("op") == "I", "c")
+            .when(F.col("op") == "U", "u")
+            .otherwise("d")
+            .alias("op"),
+            F.col("commit_ts").alias("ts_ms"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    key = F.to_json(F.struct(*[F.col(k) for k in key_cols]))
+    return decoded.select(key.alias("key"), value.alias("value"))
+
+
+def debezium_decode(frame: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """Inverse of ``debezium_encode`` (reference decoder.go): envelope back
+    to change rows — op c/r→I, u→U, d→D; the row image from ``after`` (or
+    ``before`` for deletes); commit_ts/start_ts from the source block with
+    ts_ms fallback for foreign debezium streams."""
+    env = F.from_json(
+        "value",
+        T.StructType(
+            [
+                T.StructField("before", row_schema),
+                T.StructField("after", row_schema),
+                T.StructField(
+                    "source",
+                    T.StructType(
+                        [
+                            T.StructField("connector", T.StringType()),
+                            T.StructField("db", T.StringType()),
+                            T.StructField("table", T.StringType()),
+                            T.StructField("commit_ts", T.LongType()),
+                            T.StructField("start_ts", T.LongType()),
+                        ]
+                    ),
+                ),
+                T.StructField("op", T.StringType()),
+                T.StructField("ts_ms", T.LongType()),
+            ]
+        ),
+    )
+    commit_ts = F.coalesce(env["source"]["commit_ts"], env["ts_ms"])
+    row = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    return frame.select(
+        F.when(env["op"].isin("c", "r"), "I")
+        .when(env["op"] == "u", "U")
+        .otherwise("D")
+        .alias("op"),
+        commit_ts.alias("commit_ts"),
+        F.coalesce(env["source"]["start_ts"], commit_ts - 1).alias("start_ts"),
+        *[row[f.name].alias(f.name) for f in row_schema.fields],
+    )
+
+
+# ---------------------------------------------------------------- maxwell
+
+def maxwell_encode(
+    decoded: DataFrame,
+    table: str = "transcripts",
+    db: str = "test",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Maxwell envelope (reference /root/reference/pkg/sink/codec/maxwell/
+    maxwell_message.go:28-47): {database, table, type insert/update/delete,
+    ts, data, old} — ``old`` carries the pre-image columns for updates
+    (omitted otherwise, matching the reference's json omitempty). The key
+    is the reference's internal.MessageKey {ts, schema, table}."""
+    data_cols = _data_cols(decoded, key_cols)
+    data_s = F.struct(
+        *[F.col(c) for c in key_cols], *[F.col(c) for c in data_cols]
+    )
+    pre_avail = [c for c in data_cols if f"pre_{c}" in decoded.columns]
+    old_s = (
+        F.when(
+            (F.col("op") == "U") & F.lit(bool(pre_avail)),
+            F.struct(*[F.col(f"pre_{c}").alias(c) for c in pre_avail]),
+        )
+        if pre_avail
+        else F.lit(None).cast("string")
+    )
+    value = F.to_json(
+        F.struct(
+            F.lit(db).alias("database"),
+            F.lit(table).alias("table"),
+            F.when(F.col("op") == "I", "insert")
+            .when(F.col("op") == "U", "update")
+            .otherwise("delete")
+            .alias("type"),
+            F.col("commit_ts").alias("ts"),
+            F.col("start_ts").alias("startTs"),  # engine extension (LWW ties)
+            data_s.alias("data"),
+            old_s.alias("old"),
+        )
+    )
+    key = F.to_json(
+        F.struct(
+            F.col("commit_ts").alias("ts"),
+            F.lit(db).alias("schema"),
+            F.lit(table).alias("table"),
+        )
+    )
+    return decoded.select(key.alias("key"), value.alias("value"))
+
+
+def maxwell_decode(frame: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """Inverse of ``maxwell_encode``: envelope back to change rows."""
+    env = F.from_json(
+        "value",
+        T.StructType(
+            [
+                T.StructField("database", T.StringType()),
+                T.StructField("table", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("startTs", T.LongType()),
+                T.StructField("data", row_schema),
+                T.StructField("old", row_schema),
+            ]
+        ),
+    )
+    return frame.select(
+        F.when(env["type"] == "insert", "I")
+        .when(env["type"] == "update", "U")
+        .otherwise("D")
+        .alias("op"),
+        env["ts"].alias("commit_ts"),
+        F.coalesce(env["startTs"], env["ts"] - 1).alias("start_ts"),
+        *[env["data"][f.name].alias(f.name) for f in row_schema.fields],
+    )
 
 
 # ---------------------------------------------------------------- claim-check

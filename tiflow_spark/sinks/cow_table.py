@@ -296,12 +296,18 @@ class CowTable:
         return ", ".join(fields)
 
     def snapshot(
-        self, include_tombstones: bool = False, as_of_seq: int | None = None
+        self,
+        include_tombstones: bool = False,
+        as_of_seq: int | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """Table state. Public view: tombstones filtered, internal columns
         dropped. ``as_of_seq`` time-travels to an older manifest (Iceberg
         snapshot read) — valid while vacuum still retains its data files
-        (``keep_manifests`` is the retention window)."""
+        (``keep_manifests`` is the retention window). ``buckets`` restricts
+        the scan to those buckets (partition pruning — exact for any
+        key-level question whose keys all map into the set, since a key's
+        rows only ever live in its own bucket)."""
         if as_of_seq is not None:
             # seq -1 = the empty table before the first commit (lets
             # changes_between(-1, n) emit the full initial load)
@@ -316,6 +322,9 @@ class CowTable:
             {int(b) for b in manifest["buckets"]}
             | {int(b) for b in (manifest.get("deltas") or {})}
         )
+        if buckets is not None:
+            keep = set(int(b) for b in buckets)
+            all_buckets = [b for b in all_buckets if b in keep]
         df = self._read_buckets(manifest, all_buckets)
         if df is None:
             df = self.spark.createDataFrame([], self._empty_schema())
@@ -405,6 +414,11 @@ class CowTable:
         extra = dict(manifest_extra or {})
         if "pending" not in extra and manifest.get("pending"):
             extra["pending"] = manifest["pending"]
+        # validation watermark (continuous validator) carries forward too —
+        # it marks the manifest seq last chunk-diffed, so restarts don't
+        # re-validate the whole table
+        if "validated_seq" not in extra and manifest.get("validated_seq") is not None:
+            extra["validated_seq"] = manifest["validated_seq"]
 
         def commit(
             buckets: dict[str, str],
@@ -513,8 +527,15 @@ class CowTable:
 
         existing = self._read_buckets(manifest, affected)
         if existing is not None:
-            existing = self._with_all_data_cols(existing).withColumn(
-                "bucket", self._bucket_col()
+            # project to net's exact column set: base files written before a
+            # DROP COLUMN still carry the dropped column (mergeSchema), and
+            # _with_all_data_cols only removes rename-history names — without
+            # this projection the unionByName below throws on the first
+            # post-drop epoch that touches a pre-drop bucket
+            existing = (
+                self._with_all_data_cols(existing)
+                .withColumn("bucket", self._bucket_col())
+                .select(*net.columns)
             )
             candidates = existing.unionByName(net)
             ver = F.struct(*[F.col(c) for c in VERSION_COLS])
@@ -557,17 +578,49 @@ class CowTable:
         }
         return commit(new_buckets, n_events, len(affected), deltas=remaining_deltas)
 
+    def changed_buckets(self, from_seq: int, to_seq: int) -> list[int]:
+        """Buckets whose base-file or delta-file references differ between
+        two manifests — a driver-side diff of two tiny JSON maps. A key's
+        rows only ever live in its own bucket, so any row-level change
+        between the snapshots is confined to this set (a compaction/GC
+        rewrite may add buckets whose rows didn't change — extra read,
+        never a missed change)."""
+        def _load(seq: int) -> dict[str, Any]:
+            return self._read_manifest(seq) if seq >= 0 else {"buckets": {}, "deltas": {}}
+
+        mf, mt = _load(from_seq), _load(to_seq)
+
+        def refs(m: dict[str, Any], b: int) -> tuple:
+            return (
+                m.get("buckets", {}).get(str(b)),
+                tuple((m.get("deltas") or {}).get(str(b), ())),
+            )
+
+        all_b = (
+            {int(b) for b in mf.get("buckets", {})}
+            | {int(b) for b in (mf.get("deltas") or {})}
+            | {int(b) for b in mt.get("buckets", {})}
+            | {int(b) for b in (mt.get("deltas") or {})}
+        )
+        return sorted(b for b in all_b if refs(mf, b) != refs(mt, b))
+
     def changes_between(self, from_seq: int, to_seq: int | None = None) -> DataFrame:
         """Change data feed (Iceberg incremental read / Delta CDF / Paimon
         changelog analog): the row-level changes between two committed
         snapshots, as change events ready to feed ANOTHER changefeed —
         op I (new or changed key, new image, versioned at its commit) and
-        op D (key deleted). One full-outer key join of the two time-travel
-        reads; both sides are bucket-pruned scans. Valid while vacuum
-        retains ``from_seq``'s files."""
+        op D (key deleted). Cost ∝ CHANGED buckets, not table size: the two
+        manifests' bucket/delta reference maps are diffed driver-side
+        (``changed_buckets``) and both time-travel reads and the key join
+        are restricted to that set — the Iceberg incremental-read shape
+        (reference: the storage sink likewise ships only changed files,
+        /root/reference/cdc/sink/dmlsink/cloudstorage/
+        cloud_storage_dml_sink.go:74-237). Valid while vacuum retains
+        ``from_seq``'s files."""
         to_seq = to_seq if to_seq is not None else self.current_manifest()["seq"]
-        old = self.snapshot(include_tombstones=True, as_of_seq=from_seq)
-        new = self.snapshot(include_tombstones=True, as_of_seq=to_seq)
+        touched = self.changed_buckets(from_seq, to_seq)
+        old = self.snapshot(include_tombstones=True, as_of_seq=from_seq, buckets=touched)
+        new = self.snapshot(include_tombstones=True, as_of_seq=to_seq, buckets=touched)
         o = old.select(
             *self.key_cols,
             *[F.col(c).alias(f"_o_{c}") for c in (*self.data_cols, *VERSION_COLS, "__deleted")],
@@ -612,8 +665,12 @@ class CowTable:
             return 0
         affected = sorted(int(b) for b in deltas)
         df = self._read_buckets(manifest, affected)
-        resolved = self._resolve(self._with_all_data_cols(df)).withColumn(
-            "bucket", self._bucket_col()
+        # canonical projection: a compaction after a DROP COLUMN must not
+        # carry the dropped column back into the new base files
+        resolved = (
+            self._resolve(self._with_all_data_cols(df))
+            .select(*self.key_cols, *self.data_cols, *VERSION_COLS, "__deleted")
+            .withColumn("bucket", self._bucket_col())
         )
         data_rel = f"data/c{manifest['seq'] + 1}"
         (
@@ -735,6 +792,10 @@ class CowTable:
             # MOR: resolve first — dropping a delta tombstone while an
             # older base row survives would resurrect the dead row
             df = self._resolve(self._with_all_data_cols(df))
+        else:
+            df = self._with_all_data_cols(df)
+        # canonical projection (sheds columns dropped by DDL; see compact)
+        df = df.select(*self.key_cols, *self.data_cols, *VERSION_COLS, "__deleted")
         dead = F.col("__deleted") & (F.col("__commit_ts") < below_resolved_ts)
         df = df.persist()
         try:

@@ -22,8 +22,18 @@ from pyspark.sql import functions as F
 
 
 def canal_json_envelope(decoded: DataFrame, key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> Column:
-    """Canal-JSON-like message: type, ts, pk names, data columns."""
-    data_cols = [c for c in decoded.columns if c not in {"op", "op_order", *key_cols}]
+    """Canal-JSON-like message: type, ts, pk names, data columns, plus the
+    TiCDC extension block ``_tidb`` (reference canal_json_message.go's
+    tidbExtension carries commitTs; ``startTs`` is added here because the
+    engine's LWW total order tie-breaks on (commit_ts, start_ts, D<U<I) —
+    a replay that fabricated start_ts could resolve same-commit-ts events
+    to a different winner than the source table, the exact hazard the
+    open-protocol codec documents)."""
+    skip = {"op", "op_order", "commit_ts", "start_ts", "schema_version",
+            "source_partition", "payload", "pre_payload", *key_cols}
+    data_cols = [
+        c for c in decoded.columns if c not in skip and not c.startswith("pre_")
+    ]
     return F.to_json(
         F.struct(
             F.when(F.col("op") == "I", "INSERT")
@@ -33,6 +43,10 @@ def canal_json_envelope(decoded: DataFrame, key_cols: tuple[str, ...] = ("conv_i
             F.col("commit_ts").alias("es"),
             F.array(*[F.lit(k) for k in key_cols]).alias("pkNames"),
             F.struct(*[F.col(c) for c in key_cols], *[F.col(c) for c in data_cols]).alias("data"),
+            F.struct(
+                F.col("commit_ts").alias("commitTs"),
+                F.col("start_ts").alias("startTs"),
+            ).alias("_tidb"),
         )
     )
 
@@ -162,12 +176,89 @@ def mq_schema_versions(frame: DataFrame) -> list[tuple[int, int, str]]:
     )
 
 
+def bootstrap_messages(spark, registry, n_partitions: int) -> DataFrame:
+    """The "simple" protocol's bootstrap re-broadcast (reference
+    /root/reference/pkg/sink/codec/bootstraper.go:38-130 and
+    pkg/sink/codec/simple/): the FULL registry — every schema version, its
+    activation ts, and rename chains — re-sent in-band to every partition,
+    so a consumer joining mid-stream rebuilds its registry from recent
+    messages alone instead of replaying from epoch 0. One message per
+    (version, partition); shape matches ``encode_for_mq`` output."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.sources.registry import registry_df
+
+    reg = registry_df(spark, registry)
+    value = F.to_json(
+        F.struct(
+            F.lit("BOOTSTRAP").alias("type"),
+            F.col("schema_version").alias("schemaVersion"),
+            F.col("active_from_ts").alias("activeFromTs"),
+            F.col("schema_json").alias("schemaJson"),
+            F.col("renames_json").alias("renamesJson"),
+        )
+    )
+    return (
+        reg.select(
+            F.lit(None).cast("string").alias("key"),
+            value.alias("value"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_partitions - 1))).alias("p"),
+        )
+        .select("key", "value", F.col("p").cast("int").alias("partition"))
+    )
+
+
+def mq_registry(frame: DataFrame) -> list:
+    """Late-joining consumer's registry rebuild: merge BOOTSTRAP messages
+    (authoritative — they carry activation ts + renames) with any DDL
+    broadcasts present in the read window, newest definition per version.
+    Returns a list[SchemaVersion] ready for the mounter/codecs."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tiflow_spark.sources.registry import SchemaVersion
+
+    env = F.from_json(
+        "value",
+        "type STRING, es LONG, schemaVersion LONG, activeFromTs LONG, "
+        "schemaJson STRING, renamesJson STRING",
+    )
+    rows = (
+        frame.select(env.alias("e"))
+        .filter(F.col("e.type").isin("BOOTSTRAP", "DDL"))
+        .select("e.type", "e.schemaVersion", "e.activeFromTs", "e.es",
+                "e.schemaJson", "e.renamesJson")
+        .distinct()
+        .collect()
+    )
+    by_ver: dict[int, SchemaVersion] = {}
+    # DDL first, BOOTSTRAP second so bootstrap (which carries the exact
+    # activation ts) wins when both describe a version
+    for r in sorted(rows, key=lambda r: r["type"] == "BOOTSTRAP"):
+        ver = int(r["schemaVersion"])
+        active = (
+            int(r["activeFromTs"]) if r["activeFromTs"] is not None
+            else int(r["es"]) + 1  # DDL broadcast: active after its commit
+        )
+        by_ver[ver] = SchemaVersion(
+            ver, active,
+            T.StructType.fromJson(_json.loads(r["schemaJson"])),
+            renames=tuple(
+                tuple(p) for p in _json.loads(r["renamesJson"] or "[]")
+            ),
+        )
+    return [by_ver[v] for v in sorted(by_ver)]
+
+
 def replay_mq(
     spark,
     mq_dir: str,
     table,
     data_schema: str,
     gate_on_watermark: bool = True,
+    from_batch: int = 0,
 ) -> dict:
     """The kafka-consumer loop as a first-class API
     (/root/reference/cmd/kafka-consumer/main.go:36): read every MQ batch
@@ -182,14 +273,22 @@ def replay_mq(
 
     from pyspark.sql import functions as F
 
-    paths = sorted(_glob.glob(f"{mq_dir}/batch=*"))
+    # from_batch > 0 = a consumer joining mid-stream (its broker retention
+    # starts there); with the producer's bootstrap re-broadcast it still
+    # recovers the registry from the window it CAN read (mq_registry)
+    paths = sorted(
+        p for p in _glob.glob(f"{mq_dir}/batch=*")
+        if int(p.rsplit("=", 1)[1]) >= from_batch
+    )
     if not paths:
         return {"watermark": None, "applied": 0, "skipped_above_watermark": 0}
     frame = spark.read.parquet(*paths)
     wm = mq_resolved_ts(frame) if gate_on_watermark else None
+    # start_ts comes from the envelope's _tidb extension (canal_json_decode)
+    # so same-commit-ts ties resolve identically to the source table
     rows = canal_json_decode(frame, data_schema).withColumn(
-        "start_ts", F.col("commit_ts") - 1
-    ).withColumn("source_partition", F.lit(0))
+        "source_partition", F.lit(0)
+    )
     skipped = 0
     if wm is not None:
         skipped = rows.filter(F.col("commit_ts") > wm).count()
@@ -233,17 +332,23 @@ def canal_json_decode(frame: DataFrame, data_schema: str) -> DataFrame:
 
     env = F.from_json(
         "value",
-        f"type STRING, es LONG, pkNames ARRAY<STRING>, data STRUCT<{data_schema}>",
+        f"type STRING, es LONG, pkNames ARRAY<STRING>, "
+        f"data STRUCT<{data_schema}>, "
+        f"_tidb STRUCT<commitTs: LONG, startTs: LONG>",
     )
-    # watermark/DDL messages carry no row — they feed mq_resolved_ts /
-    # mq_schema_versions, not the DML replay
-    frame = frame.filter(~env["type"].isin("TIDB_WATERMARK", "DDL"))
+    # watermark/DDL/bootstrap messages carry no row — they feed
+    # mq_resolved_ts / mq_schema_versions / mq_registry, not the DML replay
+    frame = frame.filter(~env["type"].isin("TIDB_WATERMARK", "DDL", "BOOTSTRAP"))
     return frame.select(
         F.when(env["type"] == "INSERT", "I")
         .when(env["type"] == "UPDATE", "U")
         .otherwise("D")
         .alias("op"),
         env["es"].alias("commit_ts"),
+        # start_ts from the _tidb extension; envelopes written before the
+        # extension fall back to commit_ts - 1 (the coarsened tie-break,
+        # only correct under unique commit_ts per key)
+        F.coalesce(env["_tidb"]["startTs"], env["es"] - 1).alias("start_ts"),
         F.col("value").alias("_raw"),
         env["data"].alias("_data"),
-    ).select("op", "commit_ts", "_data.*")
+    ).select("op", "commit_ts", "start_ts", "_data.*")

@@ -121,6 +121,17 @@ class Changefeed:
     event_schema: T.StructType | None = None
     batch_log: list = field(default_factory=list)  # (batch_id, [name,] MergeStats)
 
+    def __post_init__(self) -> None:
+        if self.tables is not None and self.registry_path is not None:
+            # one persisted registry shared by N tables would interleave
+            # every table's DDL versions into every other table's registry
+            # (_apply_ddls appends per-table into the single path) — each
+            # table owns its registry in `tables={name: (table, registry)}`
+            raise ValueError(
+                "tables= cannot be combined with a single registry_path — "
+                "pass each table's registry in the tables mapping instead"
+            )
+
     def _current_registry(self) -> list[SchemaVersion]:
         if self.registry_path is not None:
             from tiflow_spark.sources.registry import load_registry
@@ -388,6 +399,7 @@ class Changefeed:
         n_partitions: int = 16,
         dispatch: str = "index-value",
         timeout_sec: int = 600,
+        bootstrap_interval: int = 0,
     ) -> None:
         """Changefeed to an MQ sink instead of a table: each microbatch's
         events are decoded, canal-JSON-encoded with partition routing, and
@@ -396,7 +408,15 @@ class Changefeed:
         analog of the table's batch fence). A consumer replays the encoded
         stream into a table (sinks/mq.canal_json_decode) — the reference's
         kafka-consumer verification loop. With a Kafka classpath, swap the
-        file write for sinks/mq.write_mq_kafka."""
+        file write for sinks/mq.write_mq_kafka.
+
+        ``bootstrap_interval=N`` re-broadcasts the FULL current registry to
+        every partition on every Nth epoch (and on epoch 0) — the "simple"
+        protocol's periodic bootstrap (reference bootstraper.go:38-130), so
+        a consumer joining at batch k>0 rebuilds the registry from at most
+        N epochs of look-back (sinks/mq.mq_registry) instead of replaying
+        from the beginning. The one-shot DDL broadcast alone can't serve a
+        consumer whose retention window no longer holds the DDL's epoch."""
         from tiflow_spark.functions.decode import decode_payload
         from tiflow_spark.sinks.mq import encode_for_mq
 
@@ -436,6 +456,12 @@ class Changefeed:
                         ddl_messages(
                             batch.filter(F.col("op") == "DDL"), n_partitions
                         )
+                    )
+                if bootstrap_interval > 0 and batch_id % bootstrap_interval == 0:
+                    from tiflow_spark.sinks.mq import bootstrap_messages
+
+                    frame = frame.unionByName(
+                        bootstrap_messages(self.spark, registry, n_partitions)
                     )
                 frame.write.mode("overwrite").parquet(f"{mq_dir}/batch={batch_id}")
                 self.batch_log.append((int(batch_id), "mq"))
