@@ -105,6 +105,43 @@ def run_cdc_stream(spark, n_convs: int, workdir: str) -> dict:
     }
 
 
+def run_cdc_stream_observed(spark, n_convs: int, workdir: str) -> dict:
+    """Same feed as run_cdc_stream with frontier_mode='observe': the
+    frontier/lineage aggregates ride the LWW job instead of a separate
+    column-pruned scan — one fewer Spark job per epoch, the per-epoch
+    fixed-cost lever at streaming cadence (round-3 candidate, measured)."""
+    import glob
+
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.sources.registry import default_registry
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=n_convs, hot_turns=256, n_source_partitions=32)
+    events_dir = f"{workdir}/stream_events"  # shared with run_cdc_stream
+    if not glob.glob(events_dir + "/epoch_*"):
+        write_epoch_files(spark, spec, events_dir)
+    n = spark.read.parquet(*glob.glob(events_dir + "/epoch_*")).count()
+
+    table = CowTable(spark, f"{workdir}/obs_table", n_buckets=32,
+                     auto_vacuum_keep=3)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir + "/epoch_*",
+        checkpoint_dir=f"{workdir}/obs_ckpt", table=table,
+        registry=default_registry(spec.ddl_ts), max_files_per_trigger=64,
+        frontier_mode="observe",
+    )
+    t0 = time.time()
+    feed.run_available_now()
+    dt = time.time() - t0
+    return {
+        "events": n,
+        "epochs": len(feed.batch_log),
+        "seconds": round(dt, 3),
+        "events_per_sec": round(n / dt),
+    }
+
+
 def run_cdc_stream_mor(spark, n_convs: int, workdir: str) -> dict:
     """Same commit_ts-banded feed as run_cdc_stream, but the sink runs
     merge-on-read: epochs append per-bucket deltas (no reconcile read of
@@ -192,6 +229,52 @@ def run_cdc_stream_keylocal(spark, n_convs: int, workdir: str) -> dict:
     }
 
 
+def run_cdf_incremental(spark, n_convs: int, workdir: str) -> dict:
+    """CDF cost ∝ changed buckets (round-3 verdict #1 'done' evidence):
+    on the replayed table, commit one small epoch touching a handful of
+    keys, then time changes_between over that seq window (reads only the
+    changed buckets) against the full-history CDF from the empty snapshot
+    (reads every bucket — the old O(table) shape)."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    table = CowTable(spark, f"{workdir}/table_warm", n_buckets=32)
+    seq0 = int(table.current_manifest()["seq"])
+    small = (
+        table.snapshot()
+        .limit(8)
+        .select(
+            F.lit("U").alias("op"),
+            F.lit(2_000_000).cast("long").alias("commit_ts"),
+            F.lit(1_999_999).cast("long").alias("start_ts"),
+            F.lit(0).cast("int").alias("source_partition"),
+            "conv_id", "turn_idx", "role",
+            F.concat(F.lit("cdf-"), F.col("text")).alias("text"),
+            "tool",
+        )
+    )
+    table.merge(small, batch_id=table.last_committed_batch() + 1)
+    seq1 = int(table.current_manifest()["seq"])
+    changed = table.changed_buckets(seq0, seq1)
+
+    t0 = time.time()
+    incr_rows = table.changes_between(seq0, seq1).count()
+    incr_dt = time.time() - t0
+    t0 = time.time()
+    full_rows = table.changes_between(-1, seq1).count()
+    full_dt = time.time() - t0
+    return {
+        "n_buckets": 32,
+        "changed_buckets": len(changed),
+        "incr_rows": int(incr_rows),
+        "incr_seconds": round(incr_dt, 3),
+        "full_rows": int(full_rows),
+        "full_seconds": round(full_dt, 3),
+        "speedup": round(full_dt / incr_dt, 2) if incr_dt > 0 else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -239,8 +322,10 @@ def main() -> None:
             return {"error": f"{type(e).__name__}: {e}"[:300]}
 
     stream = _guarded(run_cdc_stream)
+    stream_observed = _guarded(run_cdc_stream_observed)
     stream_mor = _guarded(run_cdc_stream_mor)
     stream_keylocal = _guarded(run_cdc_stream_keylocal)
+    cdf_incremental = _guarded(run_cdf_incremental)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -253,8 +338,10 @@ def main() -> None:
                 "sf": float(sf),
                 "cdc_replay": replay,
                 "cdc_stream": stream,
+                "cdc_stream_observed": stream_observed,
                 "cdc_stream_mor": stream_mor,
                 "cdc_stream_keylocal": stream_keylocal,
+                "cdf_incremental": cdf_incremental,
             }
         )
     )

@@ -373,6 +373,341 @@ def test_late_joining_consumer_rebuilds_registry(spark, tmp_path):
     assert table.snapshot(include_tombstones=True).count() > 0
 
 
+# ---------------------------------------------------------------- VERDICT #5:
+# continuous validation epochs
+
+def test_continuous_validation_flags_injected_corruption(spark, tmp_path):
+    """VERDICT r3 next #5 (dm/syncer/data_validator.go): a feed running
+    with validate_every=N chunk-diffs the buckets changed since the last
+    validation. Corrupt a bucket file between epochs; once a later epoch
+    touches that bucket, the in-feed validator flags the corruption within
+    N batches and records it in the manifest."""
+    from tiflow_spark.streaming.runner import Changefeed
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+
+    # pick convs by their bucket under n_buckets=2: a and b share a bucket,
+    # c lives in the other
+    candidates = [f"k{i}" for i in range(20)]
+    bdf = spark.createDataFrame([(c, 0) for c in candidates], "conv_id STRING, turn_idx INT")
+    buckets = {
+        r["conv_id"]: r["b"]
+        for r in bdf.select(
+            "conv_id",
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)).cast("int").alias("b"),
+        ).collect()
+    }
+    by_bucket: dict[int, list] = {0: [], 1: []}
+    for c, b in buckets.items():
+        by_bucket[b].append(c)
+    key_a, key_b = by_bucket[0][0], by_bucket[0][1]
+    key_c = by_bucket[1][0]
+
+    events_dir = tmp_path / "events"
+    epochs = {
+        "e1": [_ev("I", 10, key_a, text="a-truth")],
+        "e2": [_ev("I", 20, key_c, text="c0")],
+        "e3": [_ev("I", 30, key_b, text="b0")],      # touches key_a's bucket
+        "e4": [_ev("U", 40, key_c, text="c1")],
+    }
+    for name, rows in epochs.items():
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(events_dir / name)
+        )
+    reg = [SchemaVersion(1, 0, PAYLOAD_V1)]
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=2)
+
+    def feed():
+        return Changefeed(
+            spark=spark, events_dir=str(events_dir / "e*"),
+            checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+            registry=reg, max_files_per_trigger=1, validate_every=2,
+        )
+
+    f1 = feed()
+    # drain e1+e2 only (partial glob simulates mid-stream)
+    f1.events_dir = str(events_dir / "e[1-2]")
+    f1.run_available_now()
+    assert len(f1.validation_log) == 1 and f1.validation_log[0][1]["ok"]
+
+    # corrupt key_a's text inside its bucket file (bit-rot / tampering)
+    m = table.current_manifest()
+    a_bucket = buckets[key_a]
+    rel = m["buckets"][str(a_bucket)]
+    path = str(tmp_path / "t" / rel)
+    df = spark.read.parquet(path)
+    pdf = df.toPandas()
+    pdf.loc[pdf.conv_id == key_a, "text"] = "CORRUPT"
+    spark.createDataFrame(pdf, df.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    # resume over e3+e4: e3 touches the corrupted bucket -> the validator
+    # (firing after 2 more batches) must flag it
+    f2 = feed()
+    f2.run_available_now()
+    assert len(f2.validation_log) == 1
+    rec = f2.validation_log[0][1]
+    assert not rec["ok"] and rec["row_diffs"] > 0
+    assert a_bucket in rec["buckets"]
+    # finding is manifest-committed (restart-visible)
+    assert table.current_manifest()["validation"]["ok"] is False
+
+    # repair closes the loop: merge the fix batch, re-validate clean
+    from tiflow_spark.operators.validate import repair_table
+
+    expected = spark.createDataFrame(
+        [(key_a, 0, "u", "a-truth"), (key_b, 0, "u", "b0"), (key_c, 0, "u", "c1")],
+        "conv_id STRING, turn_idx INT, role STRING, text STRING",
+    )
+    assert repair_table(table, expected.withColumn("tool", F.lit(None).cast("string"))
+                        .withColumn("ts", F.lit(None).cast("timestamp")), repair_ts=100) > 0
+
+
+# ---------------------------------------------------------------- VERDICT #6:
+# changefeed lifecycle facade
+
+def test_changefeed_lifecycle_pause_resume_remove(spark, tmp_path):
+    """VERDICT r3 next #6 (cdc/api/v2/changefeed.go:63): create → run →
+    pause (events accumulate) → resume drains them → final state matches
+    the full-log oracle → remove cleans the feed's state but not the
+    table; duplicate create and running-while-paused are rejected."""
+    from tests.test_e2e_replay import assert_matches_oracle, oracle_state
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.sources.registry import default_registry
+    from tiflow_spark.streaming.controller import ChangefeedController
+
+    spec = GenSpec(n_convs=30, seed=23)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    epochs = sorted(glob.glob(events_dir + "/epoch_*"))
+    assert len(epochs) >= 3
+
+    ctl = ChangefeedController(spark, str(tmp_path / "state"))
+    cf = ctl.create(
+        "cf1", events_dir + "/epoch_000[0-1]", str(tmp_path / "table"),
+        registry=default_registry(spec.ddl_ts), n_buckets=8,
+        feed_options={"max_files_per_trigger": 1},
+    )
+    assert cf["state"] == "normal"
+    with pytest.raises(ValueError, match="already exists"):
+        ctl.create("cf1", events_dir, str(tmp_path / "t2"),
+                   registry=default_registry(spec.ddl_ts))
+
+    feed = ctl.run("cf1")
+    mid_batches = feed.table.last_committed_batch()
+    assert mid_batches >= 0
+
+    ctl.pause("cf1")
+    with pytest.raises(ValueError, match="stopped"):
+        ctl.run("cf1")
+    # while paused, the rest of the log "accumulates" — widen the glob the
+    # way a live feed would see new files arrive
+    s = ctl._load("cf1")
+    s["events_dir"] = events_dir + "/epoch_*"
+    ctl._save(s)
+
+    ctl.resume("cf1")
+    feed = ctl.run("cf1")
+    assert feed.table.last_committed_batch() > mid_batches
+    assert_matches_oracle(feed.table, oracle_state(spark, spec))
+
+    listed = {c["id"]: c for c in ctl.list()}
+    assert listed["cf1"]["state"] == "normal"
+    assert listed["cf1"]["resolved_ts"] is not None
+
+    ctl.remove("cf1")
+    assert ctl.list() == []
+    # the sink table survives removal (reference remove keeps downstream)
+    assert CowTable(spark, str(tmp_path / "table"), n_buckets=8).snapshot().count() > 0
+    with pytest.raises(ValueError, match="does not exist"):
+        ctl.pause("cf1")
+
+
+def test_changefeed_resume_with_checkpoint_ts(spark, tmp_path):
+    """resume(overwrite_checkpoint_ts=ts) re-replicates from ts with a
+    discarded source checkpoint (changefeed.go:759) — convergent because
+    merges are fenced + version-conditional; a ts below the tombstone-GC
+    horizon is rejected (GC-safepoint analog, changefeed.go:363)."""
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.sources.registry import default_registry
+    from tiflow_spark.streaming.controller import ChangefeedController
+
+    spec = GenSpec(n_convs=20, seed=29)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+    ctl = ChangefeedController(spark, str(tmp_path / "state"))
+    ctl.create("cf", events_dir + "/epoch_*", str(tmp_path / "table"),
+               registry=default_registry(spec.ddl_ts), n_buckets=8)
+    feed = ctl.run("cf")
+    state0 = {(r["conv_id"], r["turn_idx"]): r["text"]
+              for r in feed.table.snapshot().collect()}
+
+    ctl.pause("cf")
+    ctl.resume("cf", overwrite_checkpoint_ts=0)  # full re-replication
+    feed2 = ctl.run("cf")
+    # the fence was reset: re-replicated epochs actually re-merged
+    assert any(not s.skipped and s.applied_events > 0
+               for _, s in feed2.batch_log)
+    state1 = {(r["conv_id"], r["turn_idx"]): r["text"]
+              for r in feed2.table.snapshot().collect()}
+    assert state1 == state0  # convergent re-delivery
+
+    # GC-safepoint guard: after tombstone GC below ts X, resuming below X
+    # must be refused
+    feed2.table.gc_tombstones(below_resolved_ts=10**9)
+    ctl.pause("cf")
+    with pytest.raises(ValueError, match="GC"):
+        ctl.resume("cf", overwrite_checkpoint_ts=5)
+
+
+# ---------------------------------------------------------------- VERDICT #7:
+# CDF cascade source
+
+def test_two_hop_cascade_follows_across_epochs(spark, tmp_path):
+    """VERDICT r3 next #7: source feed → table A; CascadeFeed tails A's
+    manifest into B; a second CascadeFeed tails B into C. Across ≥3
+    upstream epochs (inserts, updates, deletes) every hop stays equal to
+    the source state, each sync moving only that epoch's changes — no
+    full reloads after the initial load."""
+    from tiflow_spark.streaming.cascade import CascadeFeed
+
+    reg = default_registry(10**9)[:1]
+    a = CowTable(spark, str(tmp_path / "a"), n_buckets=8)
+    b = CowTable(spark, str(tmp_path / "b"), n_buckets=8)
+    c = CowTable(spark, str(tmp_path / "c"), n_buckets=4)
+    ab = CascadeFeed(spark, upstream=a, downstream=b)
+    bc = CascadeFeed(spark, upstream=b, downstream=c)
+
+    epochs = [
+        [_ev("I", 10, f"conv{i}") for i in range(40)],
+        [_ev("U", 20, "conv3", text="u3"), _ev("U", 21, "conv7", text="u7")],
+        [_ev("D", 30, "conv5"), _ev("I", 31, "conv99", text="fresh")],
+    ]
+    applied_per_sync = []
+    for i, rows in enumerate(epochs):
+        apply_epoch(a, reg, spark.createDataFrame(rows, EV_SCHEMA), batch_id=i)
+        r1 = ab.sync()
+        r2 = bc.sync()
+        applied_per_sync.append((r1["applied"], r2["applied"]))
+        want = {(r["conv_id"], r["turn_idx"]): r["text"]
+                for r in a.snapshot().collect()}
+        for hop in (b, c):
+            got = {(r["conv_id"], r["turn_idx"]): r["text"]
+                   for r in hop.snapshot().collect()}
+            assert got == want, f"hop {hop.root} diverged at epoch {i}"
+
+    # incremental: epoch 2/3 syncs move only that epoch's changes
+    assert applied_per_sync[0] == (40, 40)
+    assert applied_per_sync[1] == (2, 2)
+    assert applied_per_sync[2] == (2, 2)
+    # idle sync is a no-op
+    assert ab.sync()["skipped"] and bc.sync()["skipped"]
+
+    # restart-safety: offset rides the downstream manifest
+    assert b.current_manifest()["upstream_seq"] == a.current_manifest()["seq"]
+
+    # a direct merge into b (another writer) must not lose the offset
+    b.merge(spark.createDataFrame(
+        [("I", 50, 49, 0, "side", 0, "u", "side-write", None)],
+        "op STRING, commit_ts LONG, start_ts LONG, source_partition INT, "
+        "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING",
+    ), batch_id=b.last_committed_batch() + 1)
+    assert b.current_manifest()["upstream_seq"] == a.current_manifest()["seq"]
+
+
+# ---------------------------------------------------------------- VERDICT #8:
+# manifest history compaction
+
+def test_lineage_survives_vacuum_of_1000_manifests(spark, tmp_path):
+    """VERDICT r3 next #8: 10^3 streaming epochs → vacuum folds aged-out
+    manifests into one compact _history.json; lineage()/epochs() stay
+    complete while the manifest dir holds only keep_manifests files, and a
+    second vacuum (crash-refold scenario) adds no duplicates."""
+    import os
+
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    m0 = table.current_manifest()
+    for i in range(1000):
+        table._commit_manifest({
+            **m0, "seq": i, "batch_id": i, "resolved_ts": 10 * i,
+            "committed_at": float(i),
+            "lineage": [[i, 0, 10 * i, 5], [i, 1, 10 * i - 1, 7]],
+        })
+    assert len(table._manifest_seqs()) == 1000
+
+    table.vacuum(keep_manifests=2)
+    mdir = str(tmp_path / "t" / "_manifest")
+    json_files = [f for f in os.listdir(mdir) if not f.startswith("_")]
+    assert len(json_files) == 2
+    assert table.lineage().count() == 2000
+    assert table.epochs().count() == 1000
+    assert table.lineage().agg(F.sum("applied_events")).first()[0] == 1000 * 12
+
+    # idempotent re-fold: nothing doubles
+    table.vacuum(keep_manifests=2)
+    assert table.lineage().count() == 2000
+    assert table.epochs().count() == 1000
+    # live manifest still the newest; fencing unaffected
+    assert table.last_committed_batch() == 999
+
+
+# ---------------------------------------------------------------- observed
+# frontier mode
+
+def test_observed_frontier_mode_matches_scan_mode(spark, tmp_path):
+    """frontier_mode='observe' rides the frontier/lineage aggregates on the
+    LWW job (one fewer Spark job per epoch — the streaming-cadence win);
+    final state, manifest lineage, and frontiers must be identical to the
+    default scan mode."""
+    from tests.test_e2e_replay import assert_matches_oracle, oracle_state
+    from tiflow_spark.sources.datagen import GenSpec, write_epoch_files
+    from tiflow_spark.streaming.runner import Changefeed
+
+    spec = GenSpec(n_convs=40, seed=37)
+    events_dir = str(tmp_path / "events")
+    write_epoch_files(spark, spec, events_dir)
+
+    tables = {}
+    for mode in ("scan", "observe"):
+        t = CowTable(spark, str(tmp_path / f"t_{mode}"), n_buckets=8)
+        Changefeed(
+            spark=spark, events_dir=events_dir + "/epoch_*",
+            checkpoint_dir=str(tmp_path / f"ckpt_{mode}"), table=t,
+            registry=default_registry(spec.ddl_ts), max_files_per_trigger=2,
+            frontier_mode=mode,
+        ).run_available_now()
+        tables[mode] = t
+
+    assert_matches_oracle(tables["observe"], oracle_state(spark, spec))
+    lin = {
+        mode: sorted(tuple(r) for r in t.lineage().collect())
+        for mode, t in tables.items()
+    }
+    assert lin["observe"] == lin["scan"]
+    assert (
+        tables["observe"].current_manifest()["frontiers"]
+        == tables["scan"].current_manifest()["frontiers"]
+    )
+
+
+def test_simple_protocol_roundtrip(spark):
+    """"simple" protocol DML envelope (simple/message.go:472-502):
+    INSERT/UPDATE/DELETE types, data+old blocks, schemaVersion carried;
+    decode inverts and skips non-DML message types."""
+    from tiflow_spark.sinks.codecs import simple_decode, simple_encode
+
+    ev = _codec_events(spark).withColumn("schema_version", F.lit(1).cast("long"))
+    enc = simple_encode(ev, table="t1", db="d1")
+    sample = _json.loads(enc.filter(F.col("value").contains('"DELETE"')).first()["value"])
+    assert sample["version"] == 1 and sample["old"]["conv_id"] == "c2"
+    assert "data" not in sample  # delete has no new image (omitted null)
+    back = simple_decode(enc, ROW_SCHEMA)
+    got = {(r["op"], r["conv_id"], r["commit_ts"], r["start_ts"], r["text"])
+           for r in back.collect()}
+    want = {(r[0], r[3], r[1], r[2], r[6]) for r in ev.collect()}
+    assert got == want
+
+
 def test_cdf_incremental_across_compaction(spark, tmp_path):
     """A compaction rewrites bucket references without changing row content:
     the manifest diff may widen the read set, but must emit ZERO spurious

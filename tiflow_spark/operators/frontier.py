@@ -57,20 +57,43 @@ def observe_frontiers(events: DataFrame, max_partitions: int = 64):
 
     obs = Observation("frontiers")
     aggs = []
+    metric_names = []
     for p in range(max_partitions):
         cond = F.col("source_partition") == p
         aggs.append(F.max(F.when(cond, F.col("commit_ts"))).alias(f"rts_{p}"))
         aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{p}"))
+        metric_names += [f"rts_{p}", f"n_{p}"]
     # overflow guard: a source_partition >= max_partitions would otherwise be
     # merged but silently excluded from lineage and the resolved_ts min —
     # a wrong (overstated) watermark. Count them and fail loudly.
     over = F.col("source_partition") >= max_partitions
     aggs.append(F.sum(F.when(over, 1).otherwise(0)).alias("n_overflow"))
     aggs.append(F.max(F.when(over, F.col("source_partition"))).alias("max_overflow"))
+    metric_names += ["n_overflow", "max_overflow"]
     observed = events.observe(obs, *aggs)
 
+    def _metrics() -> dict | None:
+        try:
+            return obs.get
+        except Exception:
+            # an EMPTY batch (e.g. the trailing AvailableNow microbatch)
+            # optimizes to a LocalRelation whose CollectMetrics never
+            # fires — the observation holds a 0-length row, which
+            # PythonSQLUtils.toPyRow rejects. Read the row through the
+            # Scala Row API instead: empty row = empty batch (the caller
+            # cross-checks against the actual reduce output); a full row
+            # reads positionally (metric order = the observe() argument
+            # order, all longs, which py4j converts natively).
+            jrow = obs._jo.getRow()
+            if jrow.length() == 0:
+                return None
+            assert jrow.length() == len(metric_names)
+            return {n: jrow.get(i) for i, n in enumerate(metric_names)}
+
     def fetch() -> list[tuple[int, int, int]]:
-        m = obs.get
+        m = _metrics()
+        if m is None:
+            return []
         if m["n_overflow"]:
             raise ValueError(
                 f"observe_frontiers: {m['n_overflow']} events carry "

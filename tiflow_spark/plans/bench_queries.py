@@ -422,6 +422,23 @@ def q_cdc_debezium_encode(spark, sf_dir):
     return debezium_encode(ce, table="transcripts", db="test")
 
 
+def q_cdc_maxwell_encode(spark, sf_dir):
+    """Maxwell envelope encoding under the oracle — updates carry their
+    old image in `old` (the envelope omits it otherwise, matching the
+    reference's json omitempty, maxwell_message.go:28-47); text salted
+    with a quote to exercise escaping."""
+    from tiflow_spark.sinks.codecs import maxwell_encode
+
+    ce = change_events(spark, sf_dir).select(
+        "op", "commit_ts", "start_ts", "conv_id", "turn_idx", "role",
+        F.concat(F.lit('m"'), F.col("text")).alias("text"),
+        F.when(
+            F.col("op") == "U", F.concat(F.lit('pre"'), F.col("text"))
+        ).alias("pre_text"),
+    )
+    return maxwell_encode(ce, table="transcripts", db="test")
+
+
 def q_cdc_change_data_feed(spark, sf_dir):
     """Change-data-feed read under the oracle: replay the full log into a
     table, then ``changes_between(-1, current)`` — the CDF from the empty
@@ -645,6 +662,7 @@ QUERIES = {
     "cdc_op_order": q_cdc_op_order,
     "cdc_csv_encode": q_cdc_csv_encode,
     "cdc_debezium_encode": q_cdc_debezium_encode,
+    "cdc_maxwell_encode": q_cdc_maxwell_encode,
     "cdc_repair_batch": q_cdc_repair_batch,
     "cdc_binlog_filter": q_cdc_binlog_filter,
     "cdc_route_tables": q_cdc_route_tables,
@@ -1041,6 +1059,31 @@ ORACLES = {
           || ',"op":"' || CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END
           || '","ts_ms":' || CAST(commit_ts AS VARCHAR) || '}}' AS value
       FROM j
+    """,
+    # maxwell envelope: default to_json omits null fields, so `old` appears
+    # only on updates; data field order conv_id, turn_idx, role, text
+    "cdc_maxwell_encode": f"""
+      WITH ce AS ({CE_SQL}),
+      t AS (SELECT op, commit_ts, start_ts, conv_id, turn_idx, role,
+                   'm"' || text AS text,
+                   CASE WHEN op = 'U' THEN 'pre"' || text END AS pre_text
+            FROM ce)
+      SELECT
+        '{{"ts":' || CAST(commit_ts AS VARCHAR)
+          || ',"schema":"test","table":"transcripts"}}' AS key,
+        '{{"database":"test","table":"transcripts","type":"'
+          || CASE op WHEN 'I' THEN 'insert' WHEN 'U' THEN 'update'
+                     ELSE 'delete' END
+          || '","ts":' || CAST(commit_ts AS VARCHAR)
+          || ',"startTs":' || CAST(start_ts AS VARCHAR)
+          || ',"data":{{"conv_id":"' || conv_id || '","turn_idx":'
+          || CAST(turn_idx AS VARCHAR) || ',"role":"' || role
+          || '","text":"' || replace(text, '"', '\\"') || '"}}'
+          || CASE WHEN op = 'U'
+                  THEN ',"old":{{"text":"' || replace(pre_text, '"', '\\"') || '"}}'
+                  ELSE '' END
+          || '}}' AS value
+      FROM t
     """,
     # repair generation: expected = LWW survivors; actual = deterministic
     # corruption (convs ending '3' dropped, turn 7 mutated, phantom key);

@@ -46,6 +46,8 @@ def apply_epoch(
     strict_frontier: bool = False,
     version_gate: int | None = None,
     manifest_extra: dict | None = None,
+    frontier_mode: str = "scan",
+    frontier_observe_partitions: int = 64,
 ) -> EpochResult:
     """Process one microbatch of raw change events into the table.
 
@@ -92,21 +94,38 @@ def apply_epoch(
     manifest_extra = dict(manifest_extra or {})
     prev_pending = table.read_pending()
 
-    # frontier + lineage as a SEPARATE tiny job: the scan projects only
-    # (source_partition, commit_ts) — parquet column pruning makes it ~1% of
-    # the main job. Round 1 rode these as 2x64 conditional aggregates ON the
-    # LWW job ("zero extra pass"); measured at 59.8M events that added 5.9s
-    # to a 9.3s job while the pruned scan costs 0.69s — observation was the
-    # wrong tool for per-partition metrics.
-    lineage_rows = [
-        (batch_id, int(r["source_partition"]), int(r["resolved_ts"]), int(r["n_events"]))
-        for r in partition_frontiers(batch).collect()
-    ]
-    resolved = min((r[2] for r in lineage_rows), default=None)
+    # frontier + lineage: two modes with opposite sweet spots —
+    # - "scan" (default): a SEPARATE tiny job whose scan projects only
+    #   (source_partition, commit_ts); parquet column pruning makes it ~1%
+    #   of the main job. Round 1 measured the observation variant at 59.8M
+    #   events adding 5.9s to a 9.3s job (64x2 conditional aggregates on
+    #   the wide shuffle rows) vs 0.69s for the pruned scan — at REPLAY
+    #   scale, scan wins.
+    # - "observe": the aggregates ride the LWW job itself (zero extra job).
+    #   At STREAMING cadence (10^5-row epochs) the fixed cost of one more
+    #   Spark job (~0.3-0.4s scheduling + scan setup) dominates the
+    #   observation overhead, so a long-lived feed saves it every epoch
+    #   (reference advances resolved-ts inline on the event stream,
+    #   multiplexing_puller.go:440-480).
+    fetch = None
+    if frontier_mode == "observe":
+        from tiflow_spark.operators.frontier import observe_frontiers
 
-    if prev_pending is not None and lineage_rows:
+        ev, fetch = observe_frontiers(ev, max_partitions=frontier_observe_partitions)
+        lineage_rows = None
+        resolved = None
+    else:
+        lineage_rows = [
+            (batch_id, int(r["source_partition"]), int(r["resolved_ts"]), int(r["n_events"]))
+            for r in partition_frontiers(batch).collect()
+        ]
+        resolved = min((r[2] for r in lineage_rows), default=None)
+
+    if prev_pending is not None and (lineage_rows or fetch is not None):
         # pending events were lineage-counted by the epoch that withheld
-        # them — fold them into the LWW only, and clear the reference
+        # them — fold them into the LWW only, and clear the reference.
+        # (observe mode: the observer wraps only the NEW events, so pending
+        # rows are correctly excluded from this epoch's lineage counts)
         dp = prev_pending.drop(
             *[c for c in ("pre_payload", "op_order") if c in prev_pending.columns]
         )
@@ -123,6 +142,20 @@ def apply_epoch(
     # result expressions, measured ~75x slower) AND yields the affected
     # buckets; a separate count() first was a second full job per epoch
     affected = [int(r["bucket"]) for r in net.select("bucket").distinct().collect()]
+    if fetch is not None:
+        # observation metrics are valid once the action above ran
+        lineage_rows = [(batch_id, p, rts, n) for (p, rts, n) in fetch()]
+        resolved = min((r[2] for r in lineage_rows), default=None)
+        if not lineage_rows and affected:
+            # invariant: a non-empty reduce with no observed lineage means
+            # the metrics were lost, not that the batch was empty — fail
+            # loudly rather than commit a merge with a zeroed watermark
+            net.unpersist()
+            raise RuntimeError(
+                "observe-mode frontier returned no metrics for a non-empty "
+                "batch — observation was optimized out; use frontier_mode="
+                "'scan' for this feed"
+            )
 
     try:
         decode = decode_payload_pandas if decoder == "pandas" else decode_payload

@@ -587,6 +587,95 @@ def maxwell_decode(frame: DataFrame, row_schema: T.StructType) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- simple
+
+def simple_encode(
+    decoded: DataFrame,
+    table: str = "transcripts",
+    db: str = "test",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """The "simple" protocol DML envelope (reference /root/reference/pkg/
+    sink/codec/simple/message.go:472-502): {version:1, database, table,
+    type INSERT/UPDATE/DELETE, commitTs, schemaVersion, data, old} — data
+    for inserts/updates, old for updates (pre-image when tracked) and
+    deletes (last image). ``startTs`` added for LWW replay ties; buildTs
+    (wall clock in the reference) is omitted for determinism. The
+    protocol's BOOTSTRAP/DDL schema messages are the MQ sink's broadcast
+    layer (sinks/mq.bootstrap_messages / ddl_messages)."""
+    data_cols = _data_cols(decoded, key_cols)
+    row_s = F.struct(
+        *[F.col(c) for c in key_cols], *[F.col(c) for c in data_cols]
+    )
+    pre_avail = [c for c in data_cols if f"pre_{c}" in decoded.columns]
+    pre_s = F.struct(
+        *[F.col(c) for c in key_cols],
+        *[
+            (F.col(f"pre_{c}") if c in pre_avail else F.col(c)).alias(c)
+            for c in data_cols
+        ],
+    )
+    null_s = F.when(F.lit(False), row_s)
+    value = F.to_json(
+        F.struct(
+            F.lit(1).alias("version"),
+            F.lit(db).alias("database"),
+            F.lit(table).alias("table"),
+            F.when(F.col("op") == "I", "INSERT")
+            .when(F.col("op") == "U", "UPDATE")
+            .otherwise("DELETE")
+            .alias("type"),
+            F.col("commit_ts").alias("commitTs"),
+            F.col("start_ts").alias("startTs"),
+            (
+                F.col("schema_version") if "schema_version" in decoded.columns
+                else F.lit(None).cast("long")
+            ).alias("schemaVersion"),
+            F.when(F.col("op") == "D", null_s).otherwise(row_s).alias("data"),
+            F.when(F.col("op") == "D", pre_s)
+            .when((F.col("op") == "U") & F.lit(bool(pre_avail)), pre_s)
+            .otherwise(null_s)
+            .alias("old"),
+        )
+    )
+    key = F.to_json(F.struct(*[F.col(k) for k in key_cols]))
+    return decoded.select(key.alias("key"), value.alias("value"))
+
+
+def simple_decode(frame: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """Inverse of ``simple_encode``: DML messages back to change rows
+    (WATERMARK/BOOTSTRAP/DDL types pass to the broadcast consumers, not
+    the row replay)."""
+    env = F.from_json(
+        "value",
+        T.StructType(
+            [
+                T.StructField("version", T.IntegerType()),
+                T.StructField("database", T.StringType()),
+                T.StructField("table", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("commitTs", T.LongType()),
+                T.StructField("startTs", T.LongType()),
+                T.StructField("schemaVersion", T.LongType()),
+                T.StructField("data", row_schema),
+                T.StructField("old", row_schema),
+            ]
+        ),
+    )
+    frame = frame.filter(env["type"].isin("INSERT", "UPDATE", "DELETE"))
+    row = F.when(env["type"] == "DELETE", env["old"]).otherwise(env["data"])
+    return frame.select(
+        F.when(env["type"] == "INSERT", "I")
+        .when(env["type"] == "UPDATE", "U")
+        .otherwise("D")
+        .alias("op"),
+        env["commitTs"].alias("commit_ts"),
+        F.coalesce(env["startTs"], env["commitTs"] - 1).alias("start_ts"),
+        env["schemaVersion"].alias("schema_version"),
+        *[row[f.name].alias(f.name) for f in row_schema.fields],
+    )
+
+
 # ---------------------------------------------------------------- claim-check
 
 def claim_check_split(

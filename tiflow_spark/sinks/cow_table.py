@@ -419,6 +419,11 @@ class CowTable:
         # re-validate the whole table
         if "validated_seq" not in extra and manifest.get("validated_seq") is not None:
             extra["validated_seq"] = manifest["validated_seq"]
+        # cascade offset (streaming/cascade.py): the upstream manifest seq
+        # last consumed — losing it would make the next sync replay from
+        # the initial load
+        if "upstream_seq" not in extra and manifest.get("upstream_seq") is not None:
+            extra["upstream_seq"] = manifest["upstream_seq"]
 
         def commit(
             buckets: dict[str, str],
@@ -754,19 +759,31 @@ class CowTable:
             return None
         return max(fr.values()) - m["resolved_ts"]
 
+    def _read_history(self) -> dict[str, Any]:
+        """The compacted manifest history: lineage/epoch rows of manifests
+        folded by ``vacuum`` (one small JSON regardless of how many epochs
+        ever ran — 10^6 streaming epochs stay one file + keep_manifests
+        JSONs, not 10^6 driver-side reads)."""
+        try:
+            with open(f"{self.root}/_manifest/_history.json") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"lineage": [], "epochs": [], "folded_through_seq": -1}
+
     def lineage(self) -> DataFrame:
-        """Per-epoch per-source-partition applied counts + frontiers — read
-        straight from the manifest history (committed atomically with each
-        merge)."""
-        rows = []
+        """Per-epoch per-source-partition applied counts + frontiers — the
+        compacted history plus the still-live manifests (each committed
+        atomically with its merge)."""
+        rows = [tuple(r) for r in self._read_history()["lineage"]]
         for seq in self._manifest_seqs():
             for r in self._read_manifest(seq).get("lineage", []):
                 rows.append(tuple(r))
         return self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
 
     def epochs(self) -> DataFrame:
-        """The fencing/epochs table (FIXTURES.md §4) — manifest history."""
-        rows = []
+        """The fencing/epochs table (FIXTURES.md §4) — compacted history +
+        live manifests."""
+        rows = [tuple(r) for r in self._read_history()["epochs"]]
         for seq in self._manifest_seqs():
             m = self._read_manifest(seq)
             rows.append((int(m["batch_id"]), m.get("resolved_ts"), m.get("committed_at")))
@@ -830,12 +847,39 @@ class CowTable:
     def vacuum(self, keep_manifests: int = 2) -> int:
         """Delete data files no longer referenced by the newest
         ``keep_manifests`` manifests (Iceberg expire_snapshots analog) —
-        bounds the data directory across streaming epochs. Older manifests
-        stay readable as metadata (they are tiny JSON), but time travel to
-        them is no longer possible. Returns the number of bucket directories
-        removed."""
+        bounds the data directory across streaming epochs — and FOLD the
+        expired manifests' lineage/epoch rows into ``_history.json``
+        before deleting their JSON files, so manifest metadata stays O(
+        keep_manifests) files no matter how many epochs ever ran (their
+        time travel was already invalidated by the data-file removal).
+        Returns the number of bucket directories removed."""
         seqs = self._manifest_seqs()
         live = seqs[-keep_manifests:] if keep_manifests > 0 else seqs[-1:]
+        live_set = set(live)
+        to_fold = [s for s in seqs if s not in live_set]
+        if to_fold:
+            hist = self._read_history()
+            # already-folded seqs (a crash between the history write and
+            # the removals below leaves their files behind) are only
+            # removed, never re-appended
+            fold_new = [s for s in to_fold if s > hist.get("folded_through_seq", -1)]
+            if fold_new:
+                for seq in fold_new:
+                    m = self._read_manifest(seq)
+                    hist["lineage"].extend(list(r) for r in m.get("lineage", []))
+                    hist["epochs"].append(
+                        [int(m["batch_id"]), m.get("resolved_ts"), m.get("committed_at")]
+                    )
+                hist["folded_through_seq"] = max(fold_new)
+                tmp = f"{self.root}/_manifest/_tmp.history.json"
+                with open(tmp, "w") as f:
+                    json.dump(hist, f)
+                os.rename(tmp, f"{self.root}/_manifest/_history.json")
+            for seq in to_fold:
+                try:
+                    os.remove(f"{self.root}/_manifest/{seq}.json")
+                except FileNotFoundError:
+                    pass
         referenced: set[str] = set()
         pending_refs: set[str] = set()
         for seq in live:
