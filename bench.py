@@ -108,8 +108,10 @@ def run_cdc_stream(spark, n_convs: int, workdir: str) -> dict:
 def run_cdc_stream_observed(spark, n_convs: int, workdir: str) -> dict:
     """Same feed as run_cdc_stream with frontier_mode='observe': the
     frontier/lineage aggregates ride the LWW job instead of a separate
-    column-pruned scan — one fewer Spark job per epoch, the per-epoch
-    fixed-cost lever at streaming cadence (round-3 candidate, measured)."""
+    column-pruned scan — one fewer Spark job per epoch. Measured (r4) to
+    LOSE to scan at every epoch size on local[32] (the 64x2 conditional
+    aggregates per input row cost more than the extra pruned job); kept
+    as the documented negative result behind the scan default."""
     import glob
 
     from tiflow_spark.sinks.cow_table import CowTable

@@ -94,19 +94,23 @@ def apply_epoch(
     manifest_extra = dict(manifest_extra or {})
     prev_pending = table.read_pending()
 
-    # frontier + lineage: two modes with opposite sweet spots —
-    # - "scan" (default): a SEPARATE tiny job whose scan projects only
-    #   (source_partition, commit_ts); parquet column pruning makes it ~1%
-    #   of the main job. Round 1 measured the observation variant at 59.8M
-    #   events adding 5.9s to a 9.3s job (64x2 conditional aggregates on
-    #   the wide shuffle rows) vs 0.69s for the pruned scan — at REPLAY
-    #   scale, scan wins.
-    # - "observe": the aggregates ride the LWW job itself (zero extra job).
-    #   At STREAMING cadence (10^5-row epochs) the fixed cost of one more
-    #   Spark job (~0.3-0.4s scheduling + scan setup) dominates the
-    #   observation overhead, so a long-lived feed saves it every epoch
-    #   (reference advances resolved-ts inline on the event stream,
-    #   multiplexing_puller.go:440-480).
+    # frontier + lineage: two modes —
+    # - "scan" (default, and measured-fastest at every scale tried): a
+    #   SEPARATE tiny job whose scan projects only (source_partition,
+    #   commit_ts); parquet column pruning makes it ~1% of the main job.
+    #   Round 1: the observation variant at 59.8M events added 5.9s to a
+    #   9.3s job vs 0.69s for the pruned scan. Round 4 re-measured at
+    #   streaming cadence hoping the one-job saving would win there:
+    #   still no — 33x8k-event epochs, scan 1.6-2.1s/epoch vs observe
+    #   2.4s/epoch; 5x300k-event epochs, 89.7k vs 85.5k ev/s. The 64x2
+    #   conditional aggregates evaluated per input row cost more than one
+    #   extra column-pruned job at every epoch size on local[32].
+    # - "observe": the aggregates ride the LWW job itself (zero extra
+    #   job) — the reference's inline resolved-ts shape
+    #   (multiplexing_puller.go:440-480). Kept as an option (correct,
+    #   oracle-tested) for deployments where job-scheduling latency
+    #   dominates (e.g. high-latency cluster managers), but the default
+    #   stays "scan" per the measurements above.
     fetch = None
     if frontier_mode == "observe":
         from tiflow_spark.operators.frontier import observe_frontiers

@@ -131,9 +131,10 @@ class Changefeed:
     validation_log: list = field(default_factory=list)  # (seq, dict)
     _batches_since_validation: int = 0
     # frontier/lineage job mode (plans/pipeline.apply_epoch): "scan" (a
-    # separate column-pruned job — wins at replay scale) or "observe"
-    # (aggregates ride the LWW job — saves one Spark job per epoch, wins
-    # at streaming cadence where per-job fixed cost dominates)
+    # separate column-pruned job — measured fastest at replay AND
+    # streaming cadence on local[32]) or "observe" (aggregates ride the
+    # LWW job — one fewer Spark job per epoch; an option for deployments
+    # where job-scheduling latency dominates, see pipeline.py measurements)
     frontier_mode: str = "scan"
     batch_log: list = field(default_factory=list)  # (batch_id, [name,] MergeStats)
 
