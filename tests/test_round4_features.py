@@ -708,6 +708,123 @@ def test_simple_protocol_roundtrip(spark):
     assert got == want
 
 
+def test_craft_analog_columnar_roundtrip(spark):
+    """Craft-analog columnar batch codec (reference pkg/sink/codec/craft/:
+    term dictionary + columnar groups + varint, re-expressed over Arrow
+    batches): many events per message, repeated strings dictionary-encoded,
+    longs delta-varint encoded. Round-trips exactly and beats the
+    row-per-message JSON envelope on bytes for repetitive CDC traffic."""
+    from tiflow_spark.sinks.codecs import craft_decode, craft_encode
+    from tiflow_spark.sinks.mq import encode_for_mq
+
+    rows = [
+        ("U" if i % 3 else "I", 1000 + i, 999 + i, f"conv{i % 7}", i % 25,
+         "user" if i % 2 else "assistant",
+         None if i % 11 == 0 else f"text body {i % 5}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, "
+        "turn_idx INT, role STRING, text STRING",
+    ).coalesce(1)
+
+    enc = craft_encode(df)
+    msgs = enc.collect()
+    assert sum(m["n_rows"] for m in msgs) == 500
+    craft_bytes = sum(len(m["value"]) for m in msgs)
+
+    out_schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("commit_ts", T.LongType()),
+        T.StructField("start_ts", T.LongType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    back = craft_decode(enc, out_schema)
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
+
+    # the columnar+dictionary layout must beat one-JSON-per-row by a lot
+    # on repetitive traffic (the reference built craft for exactly this)
+    json_bytes = (
+        encode_for_mq(df, n_partitions=1)
+        .selectExpr("sum(length(value)) AS b").first()["b"]
+    )
+    assert craft_bytes * 5 < json_bytes, (craft_bytes, json_bytes)
+
+
+def test_controller_pause_stops_live_continuous_feed(spark, tmp_path):
+    """pause() on a run(continuous=True) changefeed stops the live
+    StreamingQuery (the owner stopping the changefeed), and resume+run
+    drains what arrived while paused from the same checkpoint."""
+    import time as _time
+
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.controller import ChangefeedController
+
+    events_dir = tmp_path / "events"
+    reg = [SchemaVersion(1, 0, PAYLOAD_V1)]
+    spark.createDataFrame([_ev("I", 10, "a")], EV_SCHEMA).coalesce(1).write.parquet(
+        str(events_dir / "e1")
+    )
+    ctl = ChangefeedController(spark, str(tmp_path / "state"))
+    ctl.create("cf", str(events_dir / "e*"), str(tmp_path / "table"),
+               registry=reg, n_buckets=4)
+    q = ctl.run("cf", continuous=True)
+    deadline = _time.time() + 60
+    table = CowTable(spark, str(tmp_path / "table"), n_buckets=4)
+    while table.last_committed_batch() < 0 and _time.time() < deadline:
+        _time.sleep(0.5)
+    assert table.last_committed_batch() >= 0
+    assert q.isActive
+
+    ctl.pause("cf")
+    assert not q.isActive
+    # events arriving while paused
+    spark.createDataFrame([_ev("U", 20, "a", text="after-pause")],
+                          EV_SCHEMA).coalesce(1).write.parquet(str(events_dir / "e2"))
+    ctl.resume("cf")
+    ctl.run("cf")  # drain
+    snap = {r["conv_id"]: r["text"] for r in table.snapshot().collect()}
+    assert snap == {"a": "after-pause"}
+    ctl.remove("cf")
+
+
+def test_cascade_randomized_schedule_converges(spark, tmp_path):
+    """Property-style cascade check: a seeded random mix of I/U/D epochs
+    with skewed keys, synced to the downstream at RANDOM points (not
+    every epoch), always converges hop-by-hop to the upstream state."""
+    import random
+
+    rng = random.Random(4242)
+    reg = default_registry(10**9)[:1]
+    a = CowTable(spark, str(tmp_path / "a"), n_buckets=8)
+    b = CowTable(spark, str(tmp_path / "b"), n_buckets=4)
+    from tiflow_spark.streaming.cascade import CascadeFeed
+
+    ab = CascadeFeed(spark, upstream=a, downstream=b)
+    ts = 100
+    for epoch in range(8):
+        rows = []
+        for _ in range(rng.randint(1, 30)):
+            ts += rng.randint(1, 3)
+            conv = f"c{rng.randint(0, 15)}"
+            op = rng.choice(["I", "U", "U", "D"])
+            rows.append(_ev(op, ts, conv, text=f"v{ts}"))
+        apply_epoch(a, reg, spark.createDataFrame(rows, EV_SCHEMA),
+                    batch_id=epoch)
+        if rng.random() < 0.5 or epoch == 7:
+            ab.sync()
+            want = {(r["conv_id"], r["turn_idx"]): r["text"]
+                    for r in a.snapshot().collect()}
+            got = {(r["conv_id"], r["turn_idx"]): r["text"]
+                   for r in b.snapshot().collect()}
+            assert got == want, f"diverged at epoch {epoch}"
+
+
 def test_cdf_incremental_across_compaction(spark, tmp_path):
     """A compaction rewrites bucket references without changing row content:
     the manifest diff may widen the read set, but must emit ZERO spurious

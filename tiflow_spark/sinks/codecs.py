@@ -676,6 +676,153 @@ def simple_decode(frame: DataFrame, row_schema: T.StructType) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- craft
+
+# Craft analog (reference /root/reference/pkg/sink/codec/craft/ — model.go
+# term dictionary, craft_encoder.go column groups): TiCDC's high-throughput
+# binary protocol batches MANY events into one columnar message — a term
+# dictionary de-duplicates repeated strings, numeric columns delta/varint
+# encode, and the consumer decodes whole batches at once. Re-expressed
+# Spark-first rather than wire-copied (the Go layout's size tables exist
+# for streaming writers; an Arrow batch already gives us whole-batch
+# framing): one message per Arrow batch, laid out as
+#
+#   magic "CRB1" | n_rows varint | column-count varint
+#   term dictionary: n_terms varint, then len-prefixed utf8 terms
+#   per column: name-term-id varint | type code (0 str, 1 long) |
+#     values — strings as term ids (zigzag varint, -1 = NULL, so a column
+#     of repeated values costs ~1 byte/row), longs as zigzag varint
+#     DELTAS from the previous row (commit_ts batches are near-sorted, so
+#     deltas are tiny)
+#
+# Bytes assembly is inherently per-record → Arrow-batched mapInPandas,
+# same as the Avro binary codec; rows cross into Python once per batch.
+
+CRAFT_MAGIC = b"CRB1"
+
+
+def craft_encode(
+    decoded: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Encode change rows into columnar craft-analog batch messages:
+    one (value: binary, n_rows: int) row per Arrow batch. Columns taken
+    from the frame: op, commit_ts, start_ts, keys, data columns. Long
+    columns must be non-null (the CDC envelope's longs always are; the
+    reference's craft likewise reserves a sentinel only for strings)."""
+    import pandas as pd
+
+    from pyspark.sql import types as PT
+
+    cols = ["op", "commit_ts", "start_ts", *key_cols,
+            *_data_cols(decoded, key_cols)]
+    src = decoded.select(*cols)
+    long_cols = {
+        f.name for f in src.schema.fields
+        if f.dataType.simpleString() in ("bigint", "int")
+    }
+    out_schema = PT.StructType(
+        [
+            PT.StructField("value", PT.BinaryType()),
+            PT.StructField("n_rows", PT.IntegerType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            terms: dict[str, int] = {}
+
+            def term_id(s) -> int:
+                if s is None or (isinstance(s, float) and pd.isna(s)):
+                    return -1
+                s = str(s)
+                if s not in terms:
+                    terms[s] = len(terms)
+                return terms[s]
+
+            # first pass: term-encode string columns, delta-encode longs
+            encoded_cols = []
+            for c in cols:
+                vals = pdf[c]
+                if c in long_cols:
+                    prev, out = 0, []
+                    for v in vals:
+                        iv = 0 if pd.isna(v) else int(v)
+                        out.append(iv - prev)
+                        prev = iv
+                    encoded_cols.append((c, 1, out))
+                else:
+                    encoded_cols.append((c, 0, [term_id(v) for v in vals]))
+
+            body = bytearray(CRAFT_MAGIC)
+            body += _zigzag(n) + _zigzag(len(cols))
+            ordered = sorted(terms, key=terms.get)
+            body += _zigzag(len(ordered))
+            for t in ordered:
+                raw = t.encode("utf-8")
+                body += _zigzag(len(raw)) + raw
+            for name, tcode, vals in encoded_cols:
+                raw = name.encode("utf-8")
+                body += _zigzag(len(raw)) + raw + _zigzag(tcode)
+                for v in vals:
+                    body += _zigzag(v)
+            yield pd.DataFrame({"value": [bytes(body)], "n_rows": [n]})
+
+    return src.mapInPandas(encode, schema=out_schema)
+
+
+def craft_decode(frame: DataFrame, schema: T.StructType) -> DataFrame:
+    """Inverse of ``craft_encode``: batch messages back to change rows.
+    ``schema`` gives the output column types (term-encoded columns decode
+    through the dictionary; delta columns re-accumulate)."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            frames = []
+            for buf in pdf["value"]:
+                buf = bytes(buf)
+                if buf[:4] != CRAFT_MAGIC:
+                    raise ValueError("bad craft-analog magic")
+                pos = 4
+                n, pos = _avro_read_varint(buf, pos)
+                n_cols, pos = _avro_read_varint(buf, pos)
+                n_terms, pos = _avro_read_varint(buf, pos)
+                terms = []
+                for _ in range(n_terms):
+                    ln, pos = _avro_read_varint(buf, pos)
+                    terms.append(buf[pos:pos + ln].decode("utf-8"))
+                    pos += ln
+                data = {}
+                for _ in range(n_cols):
+                    ln, pos = _avro_read_varint(buf, pos)
+                    name = buf[pos:pos + ln].decode("utf-8")
+                    pos += ln
+                    tcode, pos = _avro_read_varint(buf, pos)
+                    vals = []
+                    if tcode == 1:
+                        acc = 0
+                        for _ in range(n):
+                            d, pos = _avro_read_varint(buf, pos)
+                            acc += d
+                            vals.append(acc)
+                    else:
+                        for _ in range(n):
+                            tid, pos = _avro_read_varint(buf, pos)
+                            vals.append(None if tid < 0 else terms[tid])
+                    data[name] = vals
+                frames.append(pd.DataFrame(data))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[
+                    [f.name for f in schema.fields]
+                ]
+
+    return frame.mapInPandas(decode, schema=schema)
+
+
 # ---------------------------------------------------------------- claim-check
 
 def claim_check_split(
