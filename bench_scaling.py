@@ -48,11 +48,12 @@ registry = default_registry(GenSpec().ddl_ts)
 
 def one_run(tag):
     t0 = time.time()
-    if mode == "merge":
+    if mode in ("merge", "mor"):
         from tiflow_spark.sinks.cow_table import CowTable
         from tiflow_spark.plans.pipeline import apply_epoch
         shutil.rmtree(table_dir + tag, ignore_errors=True)
-        table = CowTable(spark, table_dir + tag, n_buckets=32)
+        table = CowTable(spark, table_dir + tag, n_buckets=32,
+                         mode="mor" if mode == "mor" else "cow")
         apply_epoch(table, registry, events, batch_id=0)
     elif mode == "blackhole":  # LWW + decode, same persist barrier as the pipeline
         from tiflow_spark.operators.lww import lww_latest, with_op_order
@@ -97,6 +98,7 @@ def run_level(cores: int, events_path: str, mode: str) -> dict:
 
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    modes = sys.argv[2].split(",") if len(sys.argv) > 2 else ["merge", "blackhole", "scan"]
     shutil.rmtree(WORKDIR, ignore_errors=True)
     os.makedirs(WORKDIR)
 
@@ -116,7 +118,7 @@ def main() -> None:
     assert gen.returncode == 0, gen.stderr[-2000:]
 
     results = {}
-    for mode in ("merge", "blackhole", "scan"):
+    for mode in modes:
         lo = run_level(8, f"{WORKDIR}/events", mode)
         hi = run_level(32, f"{WORKDIR}/events", mode)
         eff = round((hi["events_per_sec"] / lo["events_per_sec"]) / 4, 3)
@@ -124,7 +126,7 @@ def main() -> None:
 
     summary = {
         "metric": "CDC replay events/sec at local[8] vs local[32]",
-        "events": results["merge"]["local8"]["events"],
+        "events": results[modes[0]]["local8"]["events"],
         "results": results,
     }
     print(json.dumps(summary))

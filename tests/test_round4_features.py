@@ -825,6 +825,58 @@ def test_cascade_randomized_schedule_converges(spark, tmp_path):
             assert got == want, f"diverged at epoch {epoch}"
 
 
+def test_replay_mq_offset_tracking(spark, tmp_path):
+    """Long-running consumer mode: the highest consumed batch id rides the
+    table manifest (Kafka group-offset analog), so each consumer run reads
+    only NEW batch dirs — cost ∝ new batches, not topic length — and an
+    idle re-run is a no-op."""
+    from tiflow_spark.sinks.mq import replay_mq
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    events_dir = tmp_path / "events"
+    reg = [SchemaVersion(1, 0, PAYLOAD_V1)]
+    spark.createDataFrame([_ev("I", 10, "a"), _ev("I", 11, "b")],
+                          EV_SCHEMA).coalesce(1).write.parquet(str(events_dir / "e1"))
+
+    def feed():
+        return Changefeed(
+            spark=spark, events_dir=str(events_dir / "e*"),
+            checkpoint_dir=str(tmp_path / "ckpt"), registry=reg,
+            max_files_per_trigger=1,
+        )
+
+    feed().run_mq(str(tmp_path / "mq"), n_partitions=2)
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    schema = ("conv_id STRING, turn_idx INT, role STRING, text STRING, "
+              "tool STRING, ts TIMESTAMP")
+
+    with pytest.raises(ValueError, match="gate_on_watermark"):
+        replay_mq(spark, str(tmp_path / "mq"), table, schema, track_offset=True)
+
+    r1 = replay_mq(spark, str(tmp_path / "mq"), table, schema,
+                   gate_on_watermark=False, track_offset=True)
+    assert r1["applied"] == 2
+    committed = table.current_manifest()["mq_batch"]
+    assert committed == r1["up_to_batch"]
+
+    # idle re-run: no new batches -> no-op, offset unchanged
+    r2 = replay_mq(spark, str(tmp_path / "mq"), table, schema,
+                   gate_on_watermark=False, track_offset=True)
+    assert r2["applied"] == 0 and r2["up_to_batch"] == committed
+
+    # producer emits one more epoch; consumer reads ONLY the new batch
+    spark.createDataFrame([_ev("U", 20, "a", text="a2")],
+                          EV_SCHEMA).coalesce(1).write.parquet(str(events_dir / "e2"))
+    feed().run_mq(str(tmp_path / "mq"), n_partitions=2)
+    r3 = replay_mq(spark, str(tmp_path / "mq"), table, schema,
+                   gate_on_watermark=False, track_offset=True)
+    assert r3["applied"] == 1 and r3["up_to_batch"] > committed
+    assert {r["conv_id"]: r["text"] for r in table.snapshot().collect()} == {
+        "a": "a2", "b": "b",
+    }
+
+
 def test_cdf_incremental_across_compaction(spark, tmp_path):
     """A compaction rewrites bucket references without changing row content:
     the manifest diff may widen the read set, but must emit ZERO spurious

@@ -424,6 +424,10 @@ class CowTable:
         # the initial load
         if "upstream_seq" not in extra and manifest.get("upstream_seq") is not None:
             extra["upstream_seq"] = manifest["upstream_seq"]
+        # MQ consumer offset (sinks/mq.replay_mq track_offset): highest
+        # batch dir consumed — same carry-forward rationale
+        if "mq_batch" not in extra and manifest.get("mq_batch") is not None:
+            extra["mq_batch"] = manifest["mq_batch"]
 
         def commit(
             buckets: dict[str, str],

@@ -259,19 +259,40 @@ def replay_mq(
     data_schema: str,
     gate_on_watermark: bool = True,
     from_batch: int = 0,
+    track_offset: bool = False,
 ) -> dict:
     """The kafka-consumer loop as a first-class API
-    (/root/reference/cmd/kafka-consumer/main.go:36): read every MQ batch
-    directory, decode the canal-JSON envelope, optionally gate application
-    at the stream's consumer watermark (min over partitions of the newest
-    TIDB_WATERMARK — rows above it may still be reordered by un-consumed
-    partitions), and merge into ``table`` exactly-once-in-effect (one merge
-    per consumer run, fenced by the table's own batch id; re-running
-    re-merges idempotently). Returns {"watermark", "applied", "skipped_above_watermark"}.
+    (/root/reference/cmd/kafka-consumer/main.go:36): read MQ batch
+    directories, decode the canal-JSON envelope, optionally gate
+    application at the stream's consumer watermark (min over partitions of
+    the newest TIDB_WATERMARK — rows above it may still be reordered by
+    un-consumed partitions), and merge into ``table``
+    exactly-once-in-effect (one merge per consumer run, fenced by the
+    table's own batch id; re-running re-merges idempotently).
+
+    ``track_offset=True`` is the long-running consumer mode (the Kafka
+    group offset commit analog): the highest batch id consumed rides the
+    TABLE manifest (``mq_batch``, atomic with the merge that applied it),
+    and the next call reads only newer batch dirs — consumer cost ∝ new
+    batches, not topic length. Offsets mark whole batches consumed, so
+    this mode processes closed batches ungated and refuses the watermark
+    gate (gated-out rows in a consumed batch would be silently lost; a
+    gating live-tail consumer should not commit offsets).
+
+    Returns {"watermark", "applied", "skipped_above_watermark", "up_to_batch"}.
     """
     import glob as _glob
 
     from pyspark.sql import functions as F
+
+    if track_offset and gate_on_watermark:
+        raise ValueError(
+            "track_offset=True consumes whole batches and commits their "
+            "offset — combine it with gate_on_watermark=False (a gated "
+            "live tail must not commit offsets past withheld rows)"
+        )
+    if track_offset:
+        from_batch = max(from_batch, int(table.current_manifest().get("mq_batch", -1)) + 1)
 
     # from_batch > 0 = a consumer joining mid-stream (its broker retention
     # starts there); with the producer's bootstrap re-broadcast it still
@@ -281,7 +302,9 @@ def replay_mq(
         if int(p.rsplit("=", 1)[1]) >= from_batch
     )
     if not paths:
-        return {"watermark": None, "applied": 0, "skipped_above_watermark": 0}
+        return {"watermark": None, "applied": 0,
+                "skipped_above_watermark": 0, "up_to_batch": from_batch - 1}
+    up_to = max(int(p.rsplit("=", 1)[1]) for p in paths)
     frame = spark.read.parquet(*paths)
     wm = mq_resolved_ts(frame) if gate_on_watermark else None
     # start_ts comes from the envelope's _tidb extension (canal_json_decode)
@@ -293,11 +316,16 @@ def replay_mq(
     if wm is not None:
         skipped = rows.filter(F.col("commit_ts") > wm).count()
         rows = rows.filter(F.col("commit_ts") <= wm)
-    stats = table.merge(rows, batch_id=table.last_committed_batch() + 1)
+    stats = table.merge(
+        rows,
+        batch_id=table.last_committed_batch() + 1,
+        manifest_extra={"mq_batch": up_to} if track_offset else None,
+    )
     return {
         "watermark": wm,
         "applied": int(stats.applied_events),
         "skipped_above_watermark": int(skipped),
+        "up_to_batch": up_to,
     }
 
 
