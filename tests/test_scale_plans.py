@@ -159,3 +159,26 @@ def test_plane_matrix_is_single_literal(spark):
     assert elapsed < 30, f"dim-512 bucket plan took {elapsed}s — codegen blowup?"
     plan = plan_of(df)
     assert len(plan) < 100_000, f"plan string {len(plan)} chars — per-dim literal blowup"
+
+
+def test_json_codec_encodes_are_pure_projections(spark):
+    """Round-4 codecs (debezium/maxwell/simple/canal) must compile to a
+    single JVM projection over the scan: no shuffle, no Python in the
+    plan — the envelope family stays on the to_json fast path."""
+    from tiflow_spark.sinks.codecs import (
+        debezium_encode,
+        maxwell_encode,
+        simple_encode,
+    )
+    from tiflow_spark.sinks.mq import encode_for_mq
+
+    df = spark.createDataFrame(
+        [("I", 10, 9, 1, "c1", 0, "u", "t")],
+        "op STRING, commit_ts LONG, start_ts LONG, schema_version LONG, "
+        "conv_id STRING, turn_idx INT, role STRING, text STRING",
+    )
+    for enc in (debezium_encode, maxwell_encode, simple_encode, encode_for_mq):
+        plan = plan_of(enc(df))
+        assert "Exchange" not in plan, f"{enc.__name__} shuffles"
+        for marker in ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{enc.__name__} leaves the JVM ({marker})"
