@@ -877,6 +877,37 @@ def test_replay_mq_offset_tracking(spark, tmp_path):
     }
 
 
+def test_metrics_for_multi_table_feed(spark, tmp_path):
+    """metrics(table_name=) works for multi-table feeds (per-table
+    Grafana-counter analog); omitting the name on a multi-table feed
+    fails loudly."""
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    schema = EV_SCHEMA + ", table_name STRING"
+    rows = [
+        (*_ev("I", 10, "a"), "t1"),
+        (*_ev("I", 20, "b"), "t2"),
+        (*_ev("U", 30, "a"), "t1"),
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(events_dir)
+    reg = [SchemaVersion(1, 0, PAYLOAD_V1)]
+    t1 = CowTable(spark, str(tmp_path / "t1"), n_buckets=2)
+    t2 = CowTable(spark, str(tmp_path / "t2"), n_buckets=2)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tables={"t1": (t1, reg), "t2": (t2, reg)},
+    )
+    feed.run_available_now()
+    m1 = feed.metrics(table_name="t1")
+    assert m1.agg(F.sum("applied_events")).first()[0] == 2
+    assert feed.metrics(table_name="t2").agg(F.sum("applied_events")).first()[0] == 1
+    with pytest.raises(AssertionError):
+        feed.metrics()
+
+
 def test_cdf_incremental_across_compaction(spark, tmp_path):
     """A compaction rewrites bucket references without changing row content:
     the manifest diff may widen the read set, but must emit ZERO spurious

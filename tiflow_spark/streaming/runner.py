@@ -331,21 +331,29 @@ class Changefeed:
         finally:
             batch.unpersist()
 
-    def metrics(self) -> DataFrame:
+    def metrics(self, table_name: str | None = None) -> DataFrame:
         """Per-epoch changefeed metrics — the reference's per-changefeed
         Grafana counters (applied event counts, resolved-ts, checkpoint
         lag) as a DataFrame, derived from the table's manifest-committed
-        lineage plus the in-memory batch log. Single-table feeds."""
+        lineage plus the in-memory batch log. Multi-table feeds pass
+        ``table_name`` to select the target."""
         from pyspark.sql.window import Window
 
-        assert self.table is not None, "metrics() is per-table; use tables[name]"
-        lineage = self.table.lineage().groupBy("batch_id").agg(
+        if table_name is not None:
+            assert self.tables is not None and table_name in self.tables, table_name
+            table = self.tables[table_name][0]
+        else:
+            assert self.table is not None, (
+                "multi-table feed: pass metrics(table_name=...)"
+            )
+            table = self.table
+        lineage = table.lineage().groupBy("batch_id").agg(
             F.sum("applied_events").alias("applied_events"),
             F.count(F.lit(1)).alias("n_source_partitions"),
         )
         # resolved_ts from the manifest history: the carried-forward GLOBAL
         # watermark (monotone), not the per-batch partition minimum
-        epochs = self.table.epochs().groupBy("batch_id").agg(
+        epochs = table.epochs().groupBy("batch_id").agg(
             F.max("committed_at").alias("committed_at"),
             F.max("resolved_ts").alias("resolved_ts"),
         )
