@@ -273,6 +273,133 @@ def q_cdc_pipeline_snapshot(spark, sf_dir):
     return table.snapshot().select("conv_id", "turn_idx", "role", "text", "tool")
 
 
+def _scratch_root(key: str, prefix: str) -> str:
+    """One scratch table root per process+key, rebuilt in place on
+    re-invocation, removed at exit (see q_cdc_pipeline_snapshot)."""
+    root = _PIPELINE_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=prefix)
+        _PIPELINE_ROOTS[key] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+_SNAPSHOT_COLS = ("conv_id", "turn_idx", "role", "text", "tool")
+
+
+def q_cdc_mor_snapshot(spark, sf_dir):
+    """The merge-on-read sink under the driver oracle: two commit_ts-banded
+    epochs land as per-bucket DELTA files (no reconcile read), a compaction
+    folds the first epoch's deltas mid-stream, and the final snapshot
+    resolves base+deltas per key — same final state as the COW path
+    (reference Pebble-LSM sorter shape at table scale)."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#mor", "tiflow_mor_q_")
+    table = CowTable(
+        spark, root, n_buckets=16, mode="mor",
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    apply_epoch(table, registry, ce.filter(F.col("commit_ts") < 500_000), batch_id=0)
+    table.compact()  # fold epoch-0 deltas; epoch 1 lands as fresh deltas
+    apply_epoch(table, registry, ce.filter(F.col("commit_ts") >= 500_000), batch_id=1)
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
+def q_cdc_fence_idempotence(spark, sf_dir):
+    """Exactly-once fencing under the driver oracle: each epoch is applied
+    TWICE (the at-least-once redelivery a restart produces) — the second
+    application must fence as a no-op, leaving the LWW-correct state."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#fence", "tiflow_fence_q_")
+    table = CowTable(
+        spark, root, n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    e0 = ce.filter(F.col("commit_ts") < 500_000)
+    e1 = ce.filter(F.col("commit_ts") >= 500_000)
+    apply_epoch(table, registry, e0, batch_id=0)
+    r = apply_epoch(table, registry, e0, batch_id=0)   # redelivery
+    assert r.stats.skipped
+    apply_epoch(table, registry, e1, batch_id=1)
+    r = apply_epoch(table, registry, e1, batch_id=1)   # redelivery
+    assert r.stats.skipped
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
+def q_cdc_mq_roundtrip(spark, sf_dir):
+    """The MQ hop under the driver oracle: decoded change rows → canal-JSON
+    envelope (with the _tidb startTs extension) → consumer decode → merge
+    into a fresh table. The encoded stream alone must reconstruct the
+    exact source state, same-commit-ts ties included."""
+    from tiflow_spark.functions.decode import decode_payload
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sinks.mq import canal_json_decode, encode_for_mq
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    dec = decode_payload(ce, registry)
+    frame = encode_for_mq(dec, n_partitions=4)
+    rows = canal_json_decode(
+        frame, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    ).withColumn("source_partition", F.lit(0))
+    root = _scratch_root(sf_dir + "#mqrt", "tiflow_mqrt_q_")
+    table = CowTable(
+        spark, root, n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    table.merge(rows, batch_id=0)
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
+def q_cdc_cascade_snapshot(spark, sf_dir):
+    """A cascade hop under the driver oracle: the full pipeline lands in
+    table A; a CascadeFeed tails A's manifest (incremental CDF) into B;
+    B's snapshot must equal A's — i.e. the LWW final state."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.streaming.cascade import CascadeFeed
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#casc", "tiflow_casc_q_")
+    schema = {"role": "string", "text": "string", "tool": "string"}
+    a = CowTable(spark, root + "/a", n_buckets=16, data_schema=schema)
+    b = CowTable(spark, root + "/b", n_buckets=8, data_schema=schema)
+    apply_epoch(a, registry, ce.filter(F.col("commit_ts") < 500_000), batch_id=0)
+    CascadeFeed(spark, upstream=a, downstream=b).sync()
+    apply_epoch(a, registry, ce.filter(F.col("commit_ts") >= 500_000), batch_id=1)
+    CascadeFeed(spark, upstream=a, downstream=b).sync()
+    return b.snapshot().select(*_SNAPSHOT_COLS)
+
+
+def q_cdc_strict_frontier(spark, sf_dir):
+    """The strict commit fence under the driver oracle: one epoch applied
+    with strict_frontier=True exposes ONLY events at or below the global
+    resolved watermark (min over partitions of max commit_ts); the rest
+    are withheld in the pending store (reference engine.go:103-113)."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#strict", "tiflow_strict_q_")
+    table = CowTable(
+        spark, root, n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    apply_epoch(table, registry, ce, batch_id=0, strict_frontier=True)
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
 def q_cdc_checksum_chunks(spark, sf_dir):
     ce = change_events(spark, sf_dir)
     row = F.md5(
@@ -657,6 +784,11 @@ QUERIES = {
     "cdc_event_filter": q_cdc_event_filter,
     "cdc_preimage_filter": q_cdc_preimage_filter,
     "cdc_pipeline_snapshot": q_cdc_pipeline_snapshot,
+    "cdc_mor_snapshot": q_cdc_mor_snapshot,
+    "cdc_fence_idempotence": q_cdc_fence_idempotence,
+    "cdc_mq_roundtrip": q_cdc_mq_roundtrip,
+    "cdc_cascade_snapshot": q_cdc_cascade_snapshot,
+    "cdc_strict_frontier": q_cdc_strict_frontier,
     "cdc_change_data_feed": q_cdc_change_data_feed,
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
@@ -1003,6 +1135,33 @@ ORACLES = {
     """,
     "cdc_preimage_filter": _PREIMAGE_FILTER_SQL,
     "cdc_pipeline_snapshot": _PIPELINE_SNAPSHOT_SQL,
+    # MOR deltas+compact, double-applied (fenced) epochs, the MQ encode/
+    # decode hop, and a two-epoch cascade all converge to the SAME final
+    # state as the one-shot COW pipeline — one oracle, four engine paths
+    "cdc_mor_snapshot": _PIPELINE_SNAPSHOT_SQL,
+    "cdc_fence_idempotence": _PIPELINE_SNAPSHOT_SQL,
+    "cdc_mq_roundtrip": _PIPELINE_SNAPSHOT_SQL,
+    "cdc_cascade_snapshot": _PIPELINE_SNAPSHOT_SQL,
+    # strict fence: only events at or below the global watermark
+    # (min over source partitions of max commit_ts) are visible
+    "cdc_strict_frontier": f"""
+      WITH ce AS ({CE_PAYLOAD_SQL}),
+      wm AS (SELECT min(mx) AS w FROM (
+               SELECT source_partition, max(commit_ts) AS mx
+               FROM ce GROUP BY 1)),
+      below AS (SELECT ce.* FROM ce, wm WHERE ce.commit_ts <= wm.w),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY commit_ts DESC, start_ts DESC, {OP_ORDER_SQL} DESC) AS rn
+        FROM below)
+      SELECT conv_id, turn_idx,
+             json_extract_string(payload, '$.role') AS role,
+             json_extract_string(payload, '$.text') AS text,
+             CASE WHEN schema_version >= 2
+                  THEN json_extract_string(payload, '$.tool') END AS tool
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
     "cdc_change_data_feed": _CDF_SQL,
     "cdc_checksum_chunks": f"""
       WITH ce AS ({CE_SQL})
