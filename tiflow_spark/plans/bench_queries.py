@@ -685,6 +685,30 @@ def q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_docs_prep_pipeline(spark, sf_dir):
+    """End-to-end training-data prep composed from the suite's operators
+    under ONE oracle: quality gate (composite score ≥ 0.9) → exact dedup
+    among survivors (keep lowest doc_id per normalized-text fingerprint)
+    → token accounting for the kept corpus. The minimal corpus-prep
+    pipeline a pretraining run starts with."""
+    d = _t(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id", "text",
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+    ).filter(F.col("quality") >= 0.9)
+    keepers = dd.exact_dedup(kept)
+    surv = kept.join(
+        keepers.select(F.col("keep_id").alias("doc_id"), "n_dupes"), "doc_id"
+    )
+    return surv.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        tx.bpe_token_estimate(F.col("text")).cast("long").alias("bpe_tokens"),
+        "quality",
+        F.col("n_dupes").cast("long").alias("n_dupes"),
+    )
+
+
 def q_dedup_minhash_sigs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # distinct=False: min() is duplicate-insensitive, so the signature is
@@ -806,6 +830,7 @@ QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "docs_prep_pipeline": q_docs_prep_pipeline,
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
@@ -1379,6 +1404,53 @@ ORACLES = {
     "dedup_exact": f"""
       SELECT {_FP_SQL} AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
       FROM documents GROUP BY 1
+    """,
+    # composed corpus prep: quality gate -> exact dedup among survivors ->
+    # token accounting (same feature/score/fingerprint SQL as the
+    # individual oracles above)
+    "docs_prep_pipeline": f"""
+      WITH f AS (
+        SELECT doc_id, text,
+          length(text) AS n_chars,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+          length(replace(text, ' ', '')) AS n_nonspace,
+          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+          ((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5.0
+           + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5.0
+           + (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 5.0)
+            AS stop_hits
+        FROM documents),
+      g AS (
+        SELECT doc_id, text, n_chars, n_punct,
+          CASE WHEN n_words > 0 THEN n_nonspace * 1.0 / n_words ELSE 0.0 END AS mwl,
+          CASE WHEN n_words > 0 THEN stop_hits / n_words ELSE 0.0 END AS swr,
+          CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr
+        FROM f),
+      kept AS (
+        SELECT doc_id, text,
+          round(CAST(
+            (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+          + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END) * 0.3
+          + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+          + (CASE WHEN swr > 0.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE), 6) AS quality
+        FROM g),
+      sel AS (SELECT * FROM kept WHERE quality >= 0.9),
+      fp AS (SELECT doc_id, text, quality, {_FP_SQL} AS fp FROM sel),
+      keepers AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+                  FROM fp GROUP BY 1)
+      SELECT k.doc_id,
+        CAST(CASE WHEN length(trim(k.text)) = 0 THEN 0
+             ELSE length(regexp_split_to_array(trim(k.text), '\\s+')) END AS BIGINT)
+          AS n_tokens,
+        CAST(list_sum(list_transform(
+               regexp_split_to_array(trim(k.text), '\\s+'),
+               w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+             + length(regexp_replace(k.text, '[^.,;:!?()\\[\\]{{}}]', '', 'g'))
+             AS BIGINT) AS bpe_tokens,
+        k.quality,
+        CAST(keepers.n_dupes AS BIGINT) AS n_dupes
+      FROM fp k JOIN keepers ON k.doc_id = keepers.keep_id
     """,
     "dedup_minhash_sigs": _SHINGLES_SQL.format(where="")
     + f"SELECT doc_id AS id, {_minhash_cols(4)} FROM sh GROUP BY doc_id",
