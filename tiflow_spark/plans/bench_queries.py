@@ -400,6 +400,60 @@ def q_cdc_strict_frontier(spark, sf_dir):
     return table.snapshot().select(*_SNAPSHOT_COLS)
 
 
+def q_cdc_streaming_e2e(spark, sf_dir):
+    """The ACTUAL Structured Streaming runner under the driver oracle —
+    not just the foreachBatch body: the change log lands as commit_ts-
+    banded epoch files, a Changefeed drains them through readStream →
+    microbatches → offset checkpoint → fenced merges, and the final
+    snapshot must equal the one-shot LWW oracle."""
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.streaming.runner import Changefeed
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#sse2e", "tiflow_sse2e_q_")
+    events_dir = f"{root}/events"
+    # 4 commit_ts-banded epoch files (one part each — deterministic count)
+    for i in range(4):
+        lo, hi = i * 250_000, (i + 1) * 250_000
+        (
+            ce.filter((F.col("commit_ts") >= lo) & (F.col("commit_ts") < hi))
+            .coalesce(1).write.parquet(f"{events_dir}/epoch_{i}")
+        )
+    table = CowTable(
+        spark, f"{root}/table", n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    feed = Changefeed(
+        spark=spark, events_dir=f"{events_dir}/epoch_*",
+        checkpoint_dir=f"{root}/ckpt", table=table,
+        registry=registry, max_files_per_trigger=1,
+        event_schema=ce.schema,
+    )
+    feed.run_available_now()
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
+def q_cdc_gc_tombstones(spark, sf_dir):
+    """Tombstone GC under the driver oracle: after the full replay, drop
+    every tombstone below the (past-everything) watermark — the live state
+    must be exactly preserved, now verifiable with include_tombstones=True
+    because no tombstone survives (kv.go:58-66 source contract)."""
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#gc", "tiflow_gc_q_")
+    table = CowTable(
+        spark, root, n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    apply_epoch(table, registry, ce, batch_id=0)
+    table.gc_tombstones(below_resolved_ts=1_000_000)
+    return table.snapshot(include_tombstones=True).select(*_SNAPSHOT_COLS)
+
+
 def q_cdc_checksum_chunks(spark, sf_dir):
     ce = change_events(spark, sf_dir)
     row = F.md5(
@@ -813,6 +867,8 @@ QUERIES = {
     "cdc_mq_roundtrip": q_cdc_mq_roundtrip,
     "cdc_cascade_snapshot": q_cdc_cascade_snapshot,
     "cdc_strict_frontier": q_cdc_strict_frontier,
+    "cdc_streaming_e2e": q_cdc_streaming_e2e,
+    "cdc_gc_tombstones": q_cdc_gc_tombstones,
     "cdc_change_data_feed": q_cdc_change_data_feed,
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
     "cdc_op_order": q_cdc_op_order,
@@ -1164,6 +1220,8 @@ ORACLES = {
     # decode hop, and a two-epoch cascade all converge to the SAME final
     # state as the one-shot COW pipeline — one oracle, four engine paths
     "cdc_mor_snapshot": _PIPELINE_SNAPSHOT_SQL,
+    "cdc_streaming_e2e": _PIPELINE_SNAPSHOT_SQL,
+    "cdc_gc_tombstones": _PIPELINE_SNAPSHOT_SQL,
     "cdc_fence_idempotence": _PIPELINE_SNAPSHOT_SQL,
     "cdc_mq_roundtrip": _PIPELINE_SNAPSHOT_SQL,
     "cdc_cascade_snapshot": _PIPELINE_SNAPSHOT_SQL,
