@@ -173,6 +173,19 @@ def test_canal_replay_tie_break_matches_source(spark, tmp_path):
     assert got == want
 
 
+def test_multi_table_validate_every_rejected(spark, tmp_path):
+    """validate_every on a multi-table feed is rejected loudly — a
+    silently-ignored validator knob would fake a safety net."""
+    from tiflow_spark.streaming.runner import Changefeed
+
+    with pytest.raises(ValueError, match="validate_every"):
+        Changefeed(
+            spark=spark, events_dir=str(tmp_path / "e"),
+            checkpoint_dir=str(tmp_path / "c"),
+            tables={"t1": (None, [])}, validate_every=2,
+        )
+
+
 def test_multi_table_registry_path_rejected(spark, tmp_path):
     """ADVICE r3 (low): a multi-table feed sharing one registry_path would
     cross-contaminate every table's schema versions — rejected loudly."""

@@ -139,6 +139,14 @@ class Changefeed:
     batch_log: list = field(default_factory=list)  # (batch_id, [name,] MergeStats)
 
     def __post_init__(self) -> None:
+        if self.tables is not None and self.validate_every:
+            # the continuous validator is per-table (it derives expected
+            # state from the single-table event shape); silently ignoring
+            # the knob would fake a safety net that isn't running
+            raise ValueError(
+                "validate_every is single-table only — run validate_now() "
+                "per table or use operators.validate.verify_changefeed"
+            )
         if self.tables is not None and self.registry_path is not None:
             # one persisted registry shared by N tables would interleave
             # every table's DDL versions into every other table's registry
