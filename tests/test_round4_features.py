@@ -921,6 +921,38 @@ def test_metrics_for_multi_table_feed(spark, tmp_path):
         feed.metrics()
 
 
+def test_vacuumed_time_travel_fails_loudly(spark, tmp_path):
+    """A snapshot/CDF read whose manifest references vacuum-expired files
+    must RAISE, not silently serve an incomplete snapshot — a CDF diff
+    against a partial old snapshot would drop delete events and a cascade
+    consumer would silently diverge (Kafka-retention-loss analog)."""
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=2)
+    reg = default_registry(10**9)[:1]
+    apply_epoch(table, reg, spark.createDataFrame(
+        [_ev("I", 10, "a"), _ev("I", 11, "b")], EV_SCHEMA), batch_id=0)
+    seq0 = table.current_manifest()["seq"]
+    apply_epoch(table, reg, spark.createDataFrame(
+        [_ev("D", 20, "a")], EV_SCHEMA), batch_id=1)
+    apply_epoch(table, reg, spark.createDataFrame(
+        [_ev("U", 30, "b", text="b2")], EV_SCHEMA), batch_id=2)
+    table.vacuum(keep_manifests=1)  # expires seq0's files
+
+    with pytest.raises(FileNotFoundError, match="expired"):
+        table.snapshot(as_of_seq=seq0).collect()
+    # the current snapshot is unaffected
+    assert {r["conv_id"]: r["text"] for r in table.snapshot().collect()} == {"b": "b2"}
+
+    # a cascade consumer that fell behind retention gets the loud failure
+    from tiflow_spark.streaming.cascade import CascadeFeed
+
+    b = CowTable(spark, str(tmp_path / "b"), n_buckets=2)
+    b._commit_manifest({**b.current_manifest(), "seq": 0, "batch_id": -1,
+                        "upstream_seq": seq0, "buckets": {}, "frontiers": {},
+                        "lineage": []})
+    with pytest.raises(FileNotFoundError, match="expired"):
+        CascadeFeed(spark, upstream=table, downstream=b).sync()
+
+
 def test_cdf_incremental_across_compaction(spark, tmp_path):
     """A compaction rewrites bucket references without changing row content:
     the manifest diff may widen the read set, but must emit ZERO spurious

@@ -217,8 +217,16 @@ class CowTable:
         )
 
     def _read_manifest(self, seq: int) -> dict[str, Any]:
-        with open(f"{self.root}/_manifest/{seq}.json") as f:
-            return json.load(f)
+        try:
+            with open(f"{self.root}/_manifest/{seq}.json") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"manifest seq {seq} expired: vacuum folded it into "
+                "_history.json and removed its data files — time travel / "
+                "CDF to it is no longer possible (raise keep_manifests to "
+                "retain a longer window)"
+            ) from None
 
     def current_manifest(self) -> dict[str, Any]:
         seqs = self._manifest_seqs()
@@ -272,7 +280,17 @@ class CowTable:
         deltas = manifest.get("deltas") or {}
         for b in buckets:
             paths += [os.path.join(self.root, rel) for rel in deltas.get(str(b), [])]
-        paths = [p for p in paths if os.path.exists(p)]
+        # a manifest-referenced file that is gone means vacuum expired this
+        # snapshot (or external deletion) — fail LOUDLY: silently skipping
+        # it would serve an incomplete snapshot, and a CDF diff against it
+        # would drop delete events (a cascade would then diverge)
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot seq {manifest.get('seq')} references "
+                f"{len(missing)} expired data path(s) (vacuum retention "
+                f"passed this snapshot): {missing[:3]}"
+            )
         if not paths:
             return None
         # mergeSchema: bucket files written before a DDL lack later columns

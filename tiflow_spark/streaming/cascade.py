@@ -34,7 +34,14 @@ class CascadeFeed:
     (``upstream_seq``) — committed atomically with the merge that applied
     it, so a crash between hops re-reads the same seq range and the fence/
     LWW absorb the replay. First sync (upstream_seq absent) replays the
-    full current snapshot as the initial load (changes_between(-1, seq))."""
+    full current snapshot as the initial load (changes_between(-1, seq)).
+
+    Retention contract (the Kafka-retention analog): the upstream's vacuum
+    must keep the last-consumed seq's files alive (``keep_manifests`` >
+    the cascade's lag in upstream commits). If the consumer falls behind
+    retention, ``sync`` raises FileNotFoundError (the snapshot read fails
+    loudly) rather than silently emitting a changeset with missing
+    deletes — recover by resetting ``upstream_seq`` to -1 (full reload)."""
 
     spark: SparkSession
     upstream: CowTable
