@@ -87,7 +87,15 @@ def observe_frontiers(events: DataFrame, max_partitions: int = 64):
             jrow = obs._jo.getRow()
             if jrow.length() == 0:
                 return None
-            assert jrow.length() == len(metric_names)
+            if jrow.length() != len(metric_names):
+                # explicit raise (not assert — stripped under python -O): a
+                # metric-count mismatch would silently misalign names to
+                # values and corrupt the watermark
+                raise RuntimeError(
+                    f"observe_frontiers: CollectMetrics row has "
+                    f"{jrow.length()} fields, expected {len(metric_names)} — "
+                    "Spark changed the observation row layout"
+                )
             return {n: jrow.get(i) for i, n in enumerate(metric_names)}
 
     def fetch() -> list[tuple[int, int, int]]:

@@ -125,11 +125,13 @@ def apply_epoch(
         ]
         resolved = min((r[2] for r in lineage_rows), default=None)
 
-    if prev_pending is not None and (lineage_rows or fetch is not None):
+    if prev_pending is not None:
         # pending events were lineage-counted by the epoch that withheld
         # them — fold them into the LWW only, and clear the reference.
         # (observe mode: the observer wraps only the NEW events, so pending
-        # rows are correctly excluded from this epoch's lineage counts)
+        # rows are correctly excluded from this epoch's lineage counts.
+        # An EMPTY microbatch still drains: the withheld rows merge with
+        # zero new lineage rather than sitting in the store forever.)
         dp = prev_pending.drop(
             *[c for c in ("pre_payload", "op_order") if c in prev_pending.columns]
         )
@@ -150,10 +152,13 @@ def apply_epoch(
         # observation metrics are valid once the action above ran
         lineage_rows = [(batch_id, p, rts, n) for (p, rts, n) in fetch()]
         resolved = min((r[2] for r in lineage_rows), default=None)
-        if not lineage_rows and affected:
+        if not lineage_rows and affected and prev_pending is None:
             # invariant: a non-empty reduce with no observed lineage means
             # the metrics were lost, not that the batch was empty — fail
-            # loudly rather than commit a merge with a zeroed watermark
+            # loudly rather than commit a merge with a zeroed watermark.
+            # Exception: when a pending store was drained, the reduce is
+            # legitimately non-empty on an empty new batch (the observation
+            # wraps only new events), so empty lineage is correct there.
             net.unpersist()
             raise RuntimeError(
                 "observe-mode frontier returned no metrics for a non-empty "

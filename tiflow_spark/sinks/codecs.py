@@ -748,9 +748,20 @@ def craft_encode(
             for c in cols:
                 vals = pdf[c]
                 if c in long_cols:
+                    if vals.isna().any():
+                        # fail loudly (codebase-wide style): silently
+                        # encoding NULL as 0 would round-trip a null
+                        # commit_ts/start_ts as 0 and corrupt the replay's
+                        # LWW order. The envelope's longs are non-null by
+                        # contract; nullable values belong in string columns
+                        # (which reserve a NULL marker).
+                        raise ValueError(
+                            f"craft_encode: NULL in long column {c!r} — "
+                            "long columns are non-null by contract"
+                        )
                     prev, out = 0, []
                     for v in vals:
-                        iv = 0 if pd.isna(v) else int(v)
+                        iv = int(v)
                         out.append(iv - prev)
                         prev = iv
                     encoded_cols.append((c, 1, out))

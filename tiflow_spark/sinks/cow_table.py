@@ -446,6 +446,15 @@ class CowTable:
         # batch dir consumed — same carry-forward rationale
         if "mq_batch" not in extra and manifest.get("mq_batch") is not None:
             extra["mq_batch"] = manifest["mq_batch"]
+        # tombstone-GC safepoint carries forward MONOTONE (max): dropping it
+        # would let ChangefeedController.resume accept an
+        # overwrite_checkpoint_ts below the GC horizon on any merge after
+        # gc_tombstones — re-replication from there could resurrect deleted
+        # rows, the exact hazard EnsureChangefeedStartTsSafety blocks
+        if manifest.get("gc_below") is not None:
+            extra["gc_below"] = max(
+                int(manifest["gc_below"]), int(extra.get("gc_below") or -1)
+            )
 
         def commit(
             buckets: dict[str, str],
@@ -487,7 +496,13 @@ class CowTable:
                 resolved_ts=batch_resolved,
             )
 
-        if not lineage_rows:
+        if not lineage_rows and not affected_buckets:
+            # an empty batch (no lineage derived from it, and no caller-
+            # observed buckets either) advances nothing but the fence. A
+            # batch with EMPTY lineage yet known affected buckets is real —
+            # a pending-store drain on an empty microbatch: its rows were
+            # lineage-counted by the epoch that withheld them, so they merge
+            # below with zero new lineage.
             return commit(dict(manifest["buckets"]), 0, 0)
 
         # net effect per key within the batch (sorter + compactor);
