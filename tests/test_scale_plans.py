@@ -182,3 +182,27 @@ def test_json_codec_encodes_are_pure_projections(spark):
         assert "Exchange" not in plan, f"{enc.__name__} shuffles"
         for marker in ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert marker not in plan, f"{enc.__name__} leaves the JVM ({marker})"
+
+
+def test_component_propagation_is_distributed_hash_work(spark):
+    """One min-label-propagation round (the body of connected_components)
+    must be hash joins + a partial-aggregating groupBy over the edge list —
+    never a single-partition exchange or a global sort of |pairs| rows, and
+    never a cartesian product. At 10^9 pairs a single-task stage here is
+    the difference between minutes and never-finishes."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    plan = plan_of(dd._propagate(edges, labels))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the neighbor-min must partial-aggregate below its exchange
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan

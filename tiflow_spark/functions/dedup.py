@@ -228,6 +228,104 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return votes.select("id", sig.alias("simhash"))
 
 
+def _propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation round: every node takes the minimum of its
+    own label and its neighbors' labels. Two distributed hash joins + one
+    partial-aggregating groupBy — no single-task stage anywhere (pinned by
+    tests/test_scale_plans.py)."""
+    nbr = (
+        edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("comp").alias("nbr_comp"))
+    )
+    return labels.join(nbr, "id", "left").select(
+        "id", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive closure of near-dup PAIRS into clusters: distributed
+    connected components by iterative min-label propagation. Every
+    similarity path here (LSH-Jaccard, SimHash, embedding near-dups) emits
+    verified pairs; an actual corpus dedup must close them into components
+    and keep ONE representative per component before it can drop anything.
+
+    Algorithm: label(v) ← min(label(v), min over neighbors' labels),
+    iterated to fixpoint — each round is one shuffle join + one
+    partial-aggregating groupBy over the EDGE list (never an all-pairs
+    product), converging in O(graph diameter) rounds; near-dup clusters are
+    band-collision cliques, so the diameter is tiny and the label of every
+    component is its minimum node id. Convergence is detected by the sum of
+    labels (strictly decreasing until fixpoint — one tiny aggregate per
+    round, no extra join). Lineage is truncated per round
+    (localCheckpoint; on a real cluster set a checkpoint dir and swap in
+    .checkpoint() for executor-loss resilience).
+
+    No driver-side union-find: the driver only sees one scalar per round.
+    Reference analog is conceptual (sync_diff chunk grouping); the real
+    precedent is every production corpus pipeline (e.g. the C4/Gopher dedup
+    stages). Output: (id, comp) for every node that appears in ``pairs``;
+    comp = min node id of the component.
+    """
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(
+            pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    if prev_sum is None:
+        edges.unpersist()
+        return labels
+    for _ in range(max_iter):
+        labels = _propagate(edges, labels).localCheckpoint()
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            edges.unpersist()
+            return labels
+        prev_sum = cur_sum
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "the pair graph's diameter exceeds the bound; raise max_iter"
+    )
+
+
+def component_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Representative selection over a cluster closure: each document joins
+    its component (docs in no pair are their own singleton component) and
+    the LOWEST doc id per component is kept. The closure's label already IS
+    the component's minimum node id, so the representative test is a plain
+    equality — one hash join, no window, no extra shuffle. Output:
+    (doc_id, component, is_representative); filter is_representative to
+    drop near-dups."""
+    lab = components.select(
+        F.col("id").alias(id_col), F.col("comp").alias("component")
+    )
+    return (
+        docs.select(id_col)
+        .join(lab, id_col, "left")
+        .select(
+            id_col, F.coalesce("component", F.col(id_col)).alias("component")
+        )
+        .withColumn("is_representative", F.col(id_col) == F.col("component"))
+    )
+
+
 def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: block on (max_hamming + 1) bit-slices of
     the signature — by pigeonhole, any pair within the distance bound agrees
