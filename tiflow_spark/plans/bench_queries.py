@@ -434,6 +434,128 @@ def q_cdc_streaming_e2e(spark, sf_dir):
     return table.snapshot().select(*_SNAPSHOT_COLS)
 
 
+def q_cdc_validated_stream(spark, sf_dir):
+    """The INCREMENTAL continuous validator under the driver oracle
+    (VERDICT r4 next #2, reference dm/syncer/data_validator.go): the
+    streaming runner drains 4 banded epochs with validate_every=2 — each
+    epoch's net rows are captured at merge time and every second epoch is
+    read back from the table and diffed against them (plus the
+    frozen-region baseline check), with NO source-log rescan. Any
+    validation finding fails the query loudly; the surviving snapshot must
+    equal the one-shot LWW oracle."""
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.streaming.runner import Changefeed
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#vstream", "tiflow_vstream_q_")
+    events_dir = f"{root}/events"
+    for i in range(4):
+        lo, hi = i * 250_000, (i + 1) * 250_000
+        (
+            ce.filter((F.col("commit_ts") >= lo) & (F.col("commit_ts") < hi))
+            .coalesce(1).write.parquet(f"{events_dir}/epoch_{i}")
+        )
+    table = CowTable(
+        spark, f"{root}/table", n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    feed = Changefeed(
+        spark=spark, events_dir=f"{events_dir}/epoch_*",
+        checkpoint_dir=f"{root}/ckpt", table=table,
+        registry=registry, max_files_per_trigger=1,
+        event_schema=ce.schema, validate_every=2,
+    )
+    feed.run_available_now()
+    if not feed.validation_log or not all(
+        rec["ok"] for _, rec in feed.validation_log
+    ):
+        raise RuntimeError(f"continuous validation failed: {feed.validation_log}")
+    for rec_seq, rec in feed.validation_log:
+        if rec.get("mode") != "incremental":
+            raise RuntimeError("validator fell back to the full-log audit")
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
+def q_cdc_mq_multi_topic(spark, sf_dir):
+    """Topic-expression routing under the driver oracle (VERDICT r4 next
+    #4, reference dispatcher/topic/expression.go + partition/columns.go):
+    a multi-table feed (rows split by source partition parity) fans out
+    through run_mq to per-table topics; two single-topic consumers replay
+    their own topic into separate tables. The union of both snapshots must
+    equal the LWW oracle with the same parity split — any cross-topic leak
+    or loss breaks it."""
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sinks.mq import replay_mq
+    from tiflow_spark.streaming.runner import Changefeed
+
+    ce = change_events_payload(spark, sf_dir).withColumn(
+        "table_name",
+        F.when(F.col("source_partition") % 2 == 0, "even").otherwise("odd"),
+    )
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#mqtopic", "tiflow_mqtopic_q_")
+    ce.write.parquet(f"{root}/events")
+    feed = Changefeed(
+        spark=spark, events_dir=f"{root}/events",
+        checkpoint_dir=f"{root}/ckpt",
+        tables={"even": (None, registry), "odd": (None, registry)},
+        max_files_per_trigger=1000, event_schema=ce.schema,
+    )
+    feed.run_mq(f"{root}/mq", n_partitions=4, topic_expr="{schema}_{table}")
+    outs = []
+    for name in ("even", "odd"):
+        t = CowTable(
+            spark, f"{root}/t_{name}", n_buckets=8,
+            data_schema={"role": "string", "text": "string", "tool": "string"},
+        )
+        replay_mq(
+            spark, f"{root}/mq", t,
+            "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING",
+            gate_on_watermark=False, topic=f"default_{name}",
+        )
+        outs.append(
+            t.snapshot().select(*_SNAPSHOT_COLS).withColumn("tbl", F.lit(name))
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def q_cdc_dlq_quarantine(spark, sf_dir):
+    """The dead-letter queue under the driver oracle (VERDICT r4 next #7,
+    reference dm/syncer/handle_error.go): ~0.1% of the payloads are made
+    JSON-invalid (trailing garbage); a dead_letter=True feed quarantines
+    exactly those rows and replicates the rest. The snapshot must equal
+    the LWW oracle over the non-poisoned events — over-quarantining loses
+    live rows, under-quarantining corrupts them with NULL decodes."""
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.streaming.runner import Changefeed
+
+    poison = (F.col("commit_ts") % 997 == 0) & (F.col("op") != "D")
+    # leading garbage — genuinely unparseable (a TRAILING suffix is
+    # tolerated by lenient JSON parsers on both engines and decodes fine,
+    # so it is not poison)
+    ce = change_events_payload(spark, sf_dir).withColumn(
+        "payload",
+        F.when(poison, F.concat(F.lit("x"), F.col("payload")))
+        .otherwise(F.col("payload")),
+    )
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#dlq", "tiflow_dlq_q_")
+    ce.write.parquet(f"{root}/events")
+    table = CowTable(
+        spark, f"{root}/table", n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    feed = Changefeed(
+        spark=spark, events_dir=f"{root}/events",
+        checkpoint_dir=f"{root}/ckpt", table=table,
+        registry=registry, max_files_per_trigger=1000,
+        event_schema=ce.schema, dead_letter=True,
+    )
+    feed.run_available_now()
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
 def q_cdc_gc_tombstones(spark, sf_dir):
     """Tombstone GC under the driver oracle: after the full replay, drop
     every tombstone below the (past-everything) watermark — the live state
@@ -922,6 +1044,9 @@ QUERIES = {
     "cdc_cascade_snapshot": q_cdc_cascade_snapshot,
     "cdc_strict_frontier": q_cdc_strict_frontier,
     "cdc_streaming_e2e": q_cdc_streaming_e2e,
+    "cdc_validated_stream": q_cdc_validated_stream,
+    "cdc_mq_multi_topic": q_cdc_mq_multi_topic,
+    "cdc_dlq_quarantine": q_cdc_dlq_quarantine,
     "cdc_gc_tombstones": q_cdc_gc_tombstones,
     "cdc_change_data_feed": q_cdc_change_data_feed,
     "cdc_checksum_chunks": q_cdc_checksum_chunks,
@@ -1333,6 +1458,46 @@ ORACLES = {
     # state as the one-shot COW pipeline — one oracle, four engine paths
     "cdc_mor_snapshot": _PIPELINE_SNAPSHOT_SQL,
     "cdc_streaming_e2e": _PIPELINE_SNAPSHOT_SQL,
+    # the incrementally-validated stream converges to the same state (and
+    # the query itself raises if any validation epoch found a diff)
+    "cdc_validated_stream": _PIPELINE_SNAPSHOT_SQL,
+    # per-topic MQ fan-out: the union of both single-topic consumers'
+    # tables = the LWW state with the same parity split (keys are
+    # conv-sticky, so each key lives in exactly one topic)
+    "cdc_mq_multi_topic": f"""
+      WITH ce AS ({CE_PAYLOAD_SQL}),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY commit_ts DESC, start_ts DESC, {OP_ORDER_SQL} DESC) AS rn
+        FROM ce)
+      SELECT conv_id, turn_idx,
+             json_extract_string(payload, '$.role') AS role,
+             json_extract_string(payload, '$.text') AS text,
+             CASE WHEN schema_version >= 2
+                  THEN json_extract_string(payload, '$.tool') END AS tool,
+             CASE WHEN source_partition % 2 = 0 THEN 'even' ELSE 'odd' END AS tbl
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    # dead-letter quarantine: the engine must drop EXACTLY the poisoned
+    # (JSON-invalid) events before the LWW — expressed here by excluding
+    # the deterministically-poisoned rows from the ranking
+    "cdc_dlq_quarantine": f"""
+      WITH ce AS ({CE_PAYLOAD_SQL}),
+      clean AS (
+        SELECT * FROM ce WHERE NOT (commit_ts % 997 = 0 AND op <> 'D')),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY commit_ts DESC, start_ts DESC, {OP_ORDER_SQL} DESC) AS rn
+        FROM clean)
+      SELECT conv_id, turn_idx,
+             json_extract_string(payload, '$.role') AS role,
+             json_extract_string(payload, '$.text') AS text,
+             CASE WHEN schema_version >= 2
+                  THEN json_extract_string(payload, '$.tool') END AS tool
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
     "cdc_gc_tombstones": _PIPELINE_SNAPSHOT_SQL,
     "cdc_fence_idempotence": _PIPELINE_SNAPSHOT_SQL,
     "cdc_mq_roundtrip": _PIPELINE_SNAPSHOT_SQL,

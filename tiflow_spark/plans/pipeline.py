@@ -48,6 +48,7 @@ def apply_epoch(
     manifest_extra: dict | None = None,
     frontier_mode: str = "scan",
     frontier_observe_partitions: int = 64,
+    capture_net: bool = False,
 ) -> EpochResult:
     """Process one microbatch of raw change events into the table.
 
@@ -71,7 +72,16 @@ def apply_epoch(
     routed shard has executed the DDL — the streaming runner computes the
     gate as min over shards of each shard's delivered schema_version.
     ``manifest_extra`` rides the epoch's atomic manifest commit (the runner
-    persists shard frontiers there, restart-safe)."""
+    persists shard frontiers there, restart-safe).
+
+    ``capture_net=True`` persists the epoch's decoded net rows under the
+    table's ``_validator/net/`` and references them in the manifest — the
+    continuous validator's forward feed (reference dm/syncer/
+    data_validator.go validates rows AS replicated): validation then diffs
+    these captured rows against the table read-back, never rescanning the
+    source log. The capture file doubles as the merge input (written once,
+    read back), so enabling it adds one O(net) write per epoch, not a
+    second decode."""
     # the sink pipeline never reads the old-value image (pre-image consumers
     # — old-image filters, key-change splitting — run upstream); carrying
     # pre_payload through the LWW shuffle costs real bytes (measured: the
@@ -84,7 +94,7 @@ def apply_epoch(
         return _apply_epoch_fenced(
             table, registry, ev, batch_id, decoder,
             strict_frontier=strict_frontier, version_gate=version_gate,
-            manifest_extra=manifest_extra,
+            manifest_extra=manifest_extra, capture_net=capture_net,
         )
 
     # a non-strict epoch on a table holding a pending store (a strict feed
@@ -169,6 +179,8 @@ def apply_epoch(
     try:
         decode = decode_payload_pandas if decoder == "pandas" else decode_payload
         dec = decode(net, registry)
+        if capture_net:
+            dec, manifest_extra = _capture_net(table, dec, batch_id, manifest_extra)
 
         stats = table.merge(
             dec, batch_id, resolved_ts=resolved, lineage_rows=lineage_rows,
@@ -180,6 +192,27 @@ def apply_epoch(
     return EpochResult(stats=stats, resolved_ts=resolved)
 
 
+def _capture_net(
+    table: CowTable, dec: DataFrame, batch_id: int, manifest_extra: dict | None
+) -> tuple[DataFrame, dict]:
+    """Persist the epoch's decoded net rows for the continuous validator and
+    return (read-back frame, manifest_extra referencing it).
+
+    Crash-safety: the file is named by the manifest seq it will commit
+    under — a retry of an UNcommitted epoch overwrites the same path with
+    identical content, while a redelivery of an already-committed epoch
+    (merge fence skips it) writes a DIFFERENT, never-referenced path that
+    vacuum removes; the committed capture is never clobbered. The raw
+    ``payload`` string is dropped (the decoded columns carry the data)."""
+    m = table.current_manifest()
+    rel = f"_validator/net/s{int(m['seq']) + 1}_b{batch_id}"
+    out = dec.drop(*[c for c in ("payload", "pre_payload") if c in dec.columns])
+    out.write.mode("overwrite").parquet(f"{table.root}/{rel}")
+    extra = dict(manifest_extra or {})
+    extra["validator_nets"] = list(m.get("validator_nets") or []) + [rel]
+    return table.spark.read.parquet(f"{table.root}/{rel}"), extra
+
+
 def _apply_epoch_fenced(
     table: CowTable,
     registry: list[SchemaVersion],
@@ -189,6 +222,7 @@ def _apply_epoch_fenced(
     strict_frontier: bool = True,
     version_gate: int | None = None,
     manifest_extra: dict | None = None,
+    capture_net: bool = False,
 ) -> EpochResult:
     """Fenced epoch: split (new events ∪ previous pending) at the active
     gates; apply the ready half, persist the rest as the next pending
@@ -239,10 +273,14 @@ def _apply_epoch_fenced(
     affected = [int(r["bucket"]) for r in net.select("bucket").distinct().collect()]
     try:
         decode = decode_payload_pandas if decoder == "pandas" else decode_payload
+        dec = decode(net, registry)
+        extra = {**(manifest_extra or {}), "pending": pending_rel}
+        if capture_net:
+            dec, extra = _capture_net(table, dec, batch_id, extra)
         stats = table.merge(
-            decode(net, registry), batch_id, resolved_ts=resolved,
+            dec, batch_id, resolved_ts=resolved,
             lineage_rows=lineage_rows, pre_reduced=True, affected_buckets=affected,
-            manifest_extra={**(manifest_extra or {}), "pending": pending_rel},
+            manifest_extra=extra,
         )
     finally:
         net.unpersist()

@@ -437,6 +437,19 @@ class CowTable:
         # re-validate the whole table
         if "validated_seq" not in extra and manifest.get("validated_seq") is not None:
             extra["validated_seq"] = manifest["validated_seq"]
+        # the validator's captured-net references and pending-expected store
+        # (incremental continuous validation, streaming/runner.validate_now)
+        # carry forward like the pending store: dropping them would orphan
+        # the files and silently skip validating those epochs' rows
+        if "validator_nets" not in extra and manifest.get("validator_nets"):
+            extra["validator_nets"] = manifest["validator_nets"]
+        if "validator_pending" not in extra and manifest.get("validator_pending"):
+            extra["validator_pending"] = manifest["validator_pending"]
+        # unresolved dead-letter references (streaming/runner dead_letter
+        # mode) survive unrelated merges — dropping them would orphan the
+        # quarantined events before the operator resolves them
+        if "dlq" not in extra and manifest.get("dlq"):
+            extra["dlq"] = manifest["dlq"]
         # cascade offset (streaming/cascade.py): the upstream manifest seq
         # last consumed — losing it would make the next sync replay from
         # the initial load
@@ -949,5 +962,30 @@ class CowTable:
             for d in os.listdir(pend_root):
                 if f"pending/{d}" not in pending_refs:
                     shutil.rmtree(f"{pend_root}/{d}", ignore_errors=True)
+                    removed += 1
+        # validator stores: captured nets + pending-expected generations not
+        # referenced by any live manifest (consumed by a validation epoch,
+        # or orphaned by a crash before their manifest committed)
+        validator_refs: set[str] = set()
+        dlq_refs: set[str] = set()
+        for seq in live:
+            m = self._read_manifest(seq)
+            validator_refs.update(m.get("validator_nets") or [])
+            if m.get("validator_pending"):
+                validator_refs.add(m["validator_pending"])
+            dlq_refs.update(m.get("dlq") or [])
+        for sub in ("net", "pending"):
+            vroot = f"{self.root}/_validator/{sub}"
+            if not os.path.isdir(vroot):
+                continue
+            for d in os.listdir(vroot):
+                if f"_validator/{sub}/{d}" not in validator_refs:
+                    shutil.rmtree(f"{vroot}/{d}", ignore_errors=True)
+                    removed += 1
+        dlq_root = f"{self.root}/_dlq"
+        if os.path.isdir(dlq_root):
+            for d in os.listdir(dlq_root):
+                if f"_dlq/{d}" not in dlq_refs:
+                    shutil.rmtree(f"{dlq_root}/{d}", ignore_errors=True)
                     removed += 1
         return removed

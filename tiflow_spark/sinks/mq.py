@@ -17,8 +17,17 @@ reference tests with (/root/reference/cmd/kafka-consumer/main.go:36).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# [prefix]{schema}[middle][{table}][suffix] — the reference's topic
+# expression grammar (dispatcher/topic/expression.go topicNameRE)
+_TOPIC_EXPR_RE = re.compile(
+    r"^[A-Za-z0-9._-]*(\{schema\})?([A-Za-z0-9._-]*\{table\})?[A-Za-z0-9._-]*$"
+)
+_KAFKA_FORBID = "[^a-zA-Z0-9._-]"
 
 
 def canal_json_envelope(decoded: DataFrame, key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> Column:
@@ -30,7 +39,8 @@ def canal_json_envelope(decoded: DataFrame, key_cols: tuple[str, ...] = ("conv_i
     to a different winner than the source table, the exact hazard the
     open-protocol codec documents)."""
     skip = {"op", "op_order", "commit_ts", "start_ts", "schema_version",
-            "source_partition", "payload", "pre_payload", *key_cols}
+            "source_partition", "payload", "pre_payload", "table_name",
+            "__shard", *key_cols}
     data_cols = [
         c for c in decoded.columns if c not in skip and not c.startswith("pre_")
     ]
@@ -55,16 +65,27 @@ def dispatch_partition(
     mode: str,
     n_partitions: int,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    columns: tuple[str, ...] | None = None,
+    table_col: str | None = None,
 ) -> Column:
     """Partition dispatchers (dispatcher/partition/*.go):
-    - "table": all rows of one table to one partition (table.go:39) — single
-      table here, constant 0;
+    - "table": all rows of one table to one partition (table.go:39) —
+      hash of the table identity when ``table_col`` is set (multi-table
+      feed), else constant 0;
     - "index-value": hash of the handle-key values (index_value.go:45-87) —
       per-key ordering preserved, the default;
     - "ts": by commit_ts (ts.go:32);
-    - "key": hash of conv_id only (hot conversations stay together).
+    - "key": hash of conv_id only (hot conversations stay together);
+    - "columns": hash of an arbitrary NAMED column list's (name, value)
+      pairs plus the table identity (columns.go:45-87's PositionInertia
+      over colName+colValue) — rows agreeing on those columns land on one
+      partition regardless of the handle key. NULL values contribute
+      nothing to the hash (Spark's xxhash64 skips NULL inputs), matching
+      the reference's ``if col == nil { continue }``.
     """
     if mode == "table":
+        if table_col is not None:
+            return F.pmod(F.xxhash64(table_col), F.lit(n_partitions)).cast("int")
         return F.lit(0)
     if mode == "index-value":
         return F.pmod(F.xxhash64(*key_cols), F.lit(n_partitions)).cast("int")
@@ -72,7 +93,53 @@ def dispatch_partition(
         return F.pmod(F.col("commit_ts"), F.lit(n_partitions)).cast("int")
     if mode == "key":
         return F.pmod(F.xxhash64(key_cols[0]), F.lit(n_partitions)).cast("int")
+    if mode == "columns":
+        if not columns:
+            raise ValueError("dispatch='columns' requires a non-empty columns list")
+        parts: list = [F.col(table_col)] if table_col is not None else []
+        for c in columns:
+            parts += [F.lit(c), F.col(c).cast("string")]
+        return F.pmod(F.xxhash64(*parts), F.lit(n_partitions)).cast("int")
     raise ValueError(f"unknown dispatch mode {mode}")
+
+
+def topic_expression(
+    expr: str, table_col: str = "table_name", schema_name: str = "default"
+) -> Column:
+    """Per-row topic from a reference topic expression —
+    ``[prefix]{schema}[middle][{table}][suffix]``
+    (dispatcher/topic/expression.go Substitute): ``{schema}`` substitutes
+    the changefeed's schema name, ``{table}`` the row's table name, both
+    with Kafka-forbidden characters replaced by ``_``. Validated against
+    the reference grammar; a plain literal (no placeholders) is a
+    hard-coded topic."""
+    if not _TOPIC_EXPR_RE.match(expr):
+        raise ValueError(
+            f"invalid topic expression {expr!r} — must match "
+            "[prefix]{schema}[middle][{table}][suffix] with kafka-safe "
+            "literals (dispatcher/topic/expression.go)"
+        )
+    parts: list[Column] = []
+    for piece in re.split(r"(\{schema\}|\{table\})", expr):
+        if piece == "{schema}":
+            parts.append(F.lit(re.sub(_KAFKA_FORBID, "_", schema_name)))
+        elif piece == "{table}":
+            parts.append(F.regexp_replace(F.col(table_col), _KAFKA_FORBID, "_"))
+        elif piece:
+            parts.append(F.lit(piece))
+    return F.concat(*parts) if parts else F.lit(expr)
+
+
+def resolve_topic(expr: str, table_name: str, schema_name: str = "default") -> str:
+    """Driver-side form of ``topic_expression`` for a known table name —
+    used to enumerate a feed's topics (watermark/DDL/bootstrap broadcasts
+    go to EVERY topic of the feed)."""
+    if not _TOPIC_EXPR_RE.match(expr):
+        raise ValueError(f"invalid topic expression {expr!r}")
+    return (
+        expr.replace("{schema}", re.sub(_KAFKA_FORBID, "_", schema_name))
+        .replace("{table}", re.sub(_KAFKA_FORBID, "_", table_name))
+    )
 
 
 def encode_for_mq(
@@ -80,14 +147,30 @@ def encode_for_mq(
     n_partitions: int = 16,
     dispatch: str = "index-value",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    dispatch_columns: tuple[str, ...] | None = None,
+    topic_expr: str | None = None,
+    table_col: str = "table_name",
+    schema_name: str = "default",
 ) -> DataFrame:
-    """(key, value, partition) message frame — the exact shape
-    `df.write.format("kafka")` takes."""
-    return decoded.select(
+    """(key, value, partition[, topic]) message frame — the exact shape
+    `df.write.format("kafka")` takes (``topic`` column = per-row topic
+    routing, Spark's Kafka sink picks it up when no fixed topic option is
+    set). ``topic_expr`` adds the routed topic (see topic_expression);
+    ``dispatch_columns`` names the hash columns for dispatch='columns'."""
+    tcol = table_col if table_col in decoded.columns else None
+    cols = [
         F.to_json(F.struct(*[F.col(c) for c in key_cols])).alias("key"),
         canal_json_envelope(decoded, key_cols).alias("value"),
-        dispatch_partition(dispatch, n_partitions, key_cols).alias("partition"),
-    )
+        dispatch_partition(
+            dispatch, n_partitions, key_cols,
+            columns=dispatch_columns, table_col=tcol,
+        ).alias("partition"),
+    ]
+    if topic_expr is not None:
+        cols.append(
+            topic_expression(topic_expr, table_col, schema_name).alias("topic")
+        )
+    return decoded.select(*cols)
 
 
 def resolved_messages(spark, resolved_ts: int, n_partitions: int) -> DataFrame:
@@ -260,6 +343,7 @@ def replay_mq(
     gate_on_watermark: bool = True,
     from_batch: int = 0,
     track_offset: bool = False,
+    topic: str | None = None,
 ) -> dict:
     """The kafka-consumer loop as a first-class API
     (/root/reference/cmd/kafka-consumer/main.go:36): read MQ batch
@@ -306,6 +390,16 @@ def replay_mq(
                 "skipped_above_watermark": 0, "up_to_batch": from_batch - 1}
     up_to = max(int(p.rsplit("=", 1)[1]) for p in paths)
     frame = spark.read.parquet(*paths)
+    if topic is not None:
+        # a consumer subscribes to ONE topic of a multi-topic feed
+        # (topic_expression routing) — partition pruning on the per-topic
+        # dirs (write partitionBy("topic")) makes this a subtree read
+        if "topic" not in frame.columns:
+            raise ValueError(
+                "replay_mq(topic=...) on a stream written without topic "
+                "routing — produce with topic_expr to fan out topics"
+            )
+        frame = frame.filter(F.col("topic") == topic)
     wm = mq_resolved_ts(frame) if gate_on_watermark else None
     # start_ts comes from the envelope's _tidb extension (canal_json_decode)
     # so same-commit-ts ties resolve identically to the source table

@@ -30,8 +30,52 @@ from tiflow_spark.sinks.cow_table import CowTable
 from tiflow_spark.streaming.runner import Changefeed
 
 
+class _CascadeHandle:
+    """StreamingQuery-shaped handle for a continuous cascade feed (the
+    poll loop runs in a daemon thread; the manifest dir is the offset log,
+    so stop/start is just the thread — offsets live in the downstream
+    manifest, committed atomically with each hop's merge)."""
+
+    def __init__(self, feed, poll_interval_sec: float) -> None:
+        import threading
+
+        self._stop = threading.Event()
+        self.exception: BaseException | None = None
+
+        def loop() -> None:
+            try:
+                while not self._stop.is_set():
+                    feed.sync()
+                    self._stop.wait(poll_interval_sec)
+            except BaseException as e:  # surfaced on stop/inspect
+                self.exception = e
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    @property
+    def isActive(self) -> bool:
+        return self._thread.is_alive()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=60)
+        if self.exception is not None:
+            raise self.exception
+
+
 class ChangefeedController:
-    """create/pause/resume/remove/list over spec files in ``state_dir``."""
+    """create/pause/resume/remove/list over spec files in ``state_dir``.
+
+    Three feed kinds share the lifecycle (VERDICT r4 next #5):
+    - ``kind="table"`` — events log → CowTable (the default);
+    - ``kind="mq"`` — events log → topic/partition-routed MQ stream
+      (``mq_options`` forwards run_mq knobs; pause/resume ride the same
+      Structured Streaming source checkpoint);
+    - ``kind="cascade"`` — an upstream CowTable's CDF → downstream
+      CowTable (``upstream_root``; the consumed-seq offset lives in the
+      downstream manifest, so pause/resume need no extra state).
+    """
 
     def __init__(self, spark: SparkSession, state_dir: str) -> None:
         self.spark = spark
@@ -63,28 +107,48 @@ class ChangefeedController:
     def create(
         self,
         cf_id: str,
-        events_dir: str,
-        table_root: str,
-        registry,
+        events_dir: str | None,
+        table_root: str | None,
+        registry=None,
         start_ts: int | None = None,
         n_buckets: int = 32,
         feed_options: dict[str, Any] | None = None,
         table_options: dict[str, Any] | None = None,
+        kind: str = "table",
+        mq_options: dict[str, Any] | None = None,
+        upstream_root: str | None = None,
+        upstream_options: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Register a changefeed (v2 POST /changefeeds). The registry is
         persisted under the controller's state dir so the feed's schema
         evolution survives pause/resume; ``feed_options`` forwards
         Changefeed knobs (ddl_in_stream, strict_frontier, validate_every,
         max_files_per_trigger, decoder), ``table_options`` CowTable knobs
-        (mode, bucket_expr, auto_compact_deltas, auto_vacuum_keep)."""
+        (mode, bucket_expr, auto_compact_deltas, auto_vacuum_keep).
+
+        ``kind="mq"``: ``mq_options`` must carry ``mq_dir`` (plus any
+        run_mq knobs — n_partitions, dispatch, dispatch_columns,
+        topic_expr, bootstrap_interval); no sink table.
+        ``kind="cascade"``: ``upstream_root`` names the source CowTable;
+        ``events_dir``/registry are unused (the upstream CDF carries
+        decoded rows and the downstream schema follows the upstream's)."""
         if os.path.exists(self._spec_path(cf_id)):
             raise ValueError(f"changefeed {cf_id!r} already exists")
-        registry_path = os.path.join(self.state_dir, cf_id, "registry")
-        from tiflow_spark.sources.registry import save_registry
+        if kind not in ("table", "mq", "cascade"):
+            raise ValueError(f"unknown changefeed kind {kind!r}")
+        if kind == "mq" and not (mq_options or {}).get("mq_dir"):
+            raise ValueError("kind='mq' requires mq_options={'mq_dir': ...}")
+        if kind == "cascade" and not upstream_root:
+            raise ValueError("kind='cascade' requires upstream_root")
+        registry_path = None
+        if kind != "cascade":
+            registry_path = os.path.join(self.state_dir, cf_id, "registry")
+            from tiflow_spark.sources.registry import save_registry
 
-        save_registry(self.spark, registry, registry_path)
+            save_registry(self.spark, registry, registry_path)
         spec = {
             "id": cf_id,
+            "kind": kind,
             "state": "normal",
             "events_dir": events_dir,
             "table_root": table_root,
@@ -94,21 +158,38 @@ class ChangefeedController:
             "n_buckets": n_buckets,
             "feed_options": feed_options or {},
             "table_options": table_options or {},
+            "mq_options": mq_options or {},
+            "upstream_root": upstream_root,
+            "upstream_options": upstream_options or {},
             "created_at": time.time(),
         }
         self._save(spec)
         return spec
 
-    def _build(self, spec: dict[str, Any]) -> Changefeed:
-        table = CowTable(
+    def _table(self, spec: dict[str, Any]) -> CowTable:
+        return CowTable(
             self.spark, spec["table_root"], n_buckets=spec["n_buckets"],
             **spec["table_options"],
         )
+
+    def _build(self, spec: dict[str, Any]):
+        kind = spec.get("kind", "table")
+        if kind == "cascade":
+            from tiflow_spark.streaming.cascade import CascadeFeed
+
+            upstream = CowTable(
+                self.spark, spec["upstream_root"],
+                **spec.get("upstream_options", {}),
+            )
+            return CascadeFeed(
+                spark=self.spark, upstream=upstream,
+                downstream=self._table(spec),
+            )
         return Changefeed(
             spark=self.spark,
             events_dir=spec["events_dir"],
             checkpoint_dir=spec["checkpoint_dir"],
-            table=table,
+            table=self._table(spec) if kind == "table" else None,
             registry_path=spec["registry_path"],
             start_ts=spec["start_ts"],
             **spec["feed_options"],
@@ -116,14 +197,34 @@ class ChangefeedController:
 
     def run(self, cf_id: str, continuous: bool = False, timeout_sec: int = 600):
         """Drive a normal-state changefeed: drain what's in the log
-        (AvailableNow) or start the long-lived query (continuous). Returns
-        the Changefeed (drain) or the StreamingQuery handle (continuous)."""
+        (AvailableNow; cascade = one sync) or start the long-lived query
+        (continuous). Returns the feed object (drain) or the query handle
+        (continuous — a StreamingQuery, or its cascade thread analog)."""
         spec = self._load(cf_id)
         if spec["state"] != "normal":
             raise ValueError(
                 f"changefeed {cf_id!r} is {spec['state']} — resume it first"
             )
+        kind = spec.get("kind", "table")
         feed = self._build(spec)
+        if kind == "cascade":
+            if continuous:
+                q = _CascadeHandle(
+                    feed, spec.get("feed_options", {}).get("poll_interval_sec", 1.0)
+                )
+                self._queries[cf_id] = q
+                return q
+            feed.sync()
+            return feed
+        if kind == "mq":
+            if continuous:
+                raise ValueError(
+                    "continuous MQ feeds are drain-per-run here — rerun "
+                    "run(cf_id) to emit newly arrived epochs (the SS source "
+                    "checkpoint carries the offset between runs)"
+                )
+            feed.run_mq(timeout_sec=timeout_sec, **spec["mq_options"])
+            return feed
         if continuous:
             q = feed.run_continuous()
             self._queries[cf_id] = q
@@ -151,6 +252,16 @@ class ChangefeedController:
         horizon could resurrect deleted rows, changefeed.go:363)."""
         spec = self._load(cf_id)
         if overwrite_checkpoint_ts is not None:
+            if spec.get("kind", "table") != "table":
+                # MQ: stale batch dirs above the rewind would need a topic
+                # truncate; cascade: the offset is the upstream seq, and
+                # rewinding it replays a snapshot WITHOUT the deletes in
+                # between — both are the resurrect hazard the table guard
+                # blocks, so fail loudly instead of half-supporting them
+                raise ValueError(
+                    "overwrite_checkpoint_ts is table-feed only — recreate "
+                    f"the {spec.get('kind')} feed to rewind it"
+                )
             table = CowTable(
                 self.spark, spec["table_root"], n_buckets=spec["n_buckets"],
                 **spec["table_options"],
@@ -202,8 +313,11 @@ class ChangefeedController:
                 continue
             spec = self._load(fn[:-5])
             m = {}
-            manifest_dir = os.path.join(spec["table_root"], "_manifest")
-            if os.path.isdir(manifest_dir):
+            manifest_dir = (
+                os.path.join(spec["table_root"], "_manifest")
+                if spec.get("table_root") else ""
+            )
+            if manifest_dir and os.path.isdir(manifest_dir):
                 table = CowTable(
                     self.spark, spec["table_root"], n_buckets=spec["n_buckets"],
                     **spec["table_options"],

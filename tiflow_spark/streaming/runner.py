@@ -130,6 +130,14 @@ class Changefeed:
     validate_every: int = 0
     validation_log: list = field(default_factory=list)  # (seq, dict)
     _batches_since_validation: int = 0
+    # DM handle-error analog (/root/reference/dm/syncer/handle_error.go:
+    # skip/replace/inject resolution for binlog events the syncer cannot
+    # apply): instead of one poisoned event failing the whole epoch loudly
+    # (the default — correct but it wedges a 10^10-event feed on one bad
+    # row), quarantine undecodable / unregistered-version / null-key rows
+    # into a manifest-referenced dead-letter store and keep replicating.
+    # Resolve with dlq_resolve("skip") or dlq_resolve("replace", corrected).
+    dead_letter: bool = False
     # frontier/lineage job mode (plans/pipeline.apply_epoch): "scan" (a
     # separate column-pruned job — measured fastest at replay AND
     # streaming cadence on local[32]) or "observe" (aggregates ride the
@@ -139,14 +147,6 @@ class Changefeed:
     batch_log: list = field(default_factory=list)  # (batch_id, [name,] MergeStats)
 
     def __post_init__(self) -> None:
-        if self.tables is not None and self.validate_every:
-            # the continuous validator is per-table (it derives expected
-            # state from the single-table event shape); silently ignoring
-            # the knob would fake a safety net that isn't running
-            raise ValueError(
-                "validate_every is single-table only — run validate_now() "
-                "per table or use operators.validate.verify_changefeed"
-            )
         if self.tables is not None and self.registry_path is not None:
             # one persisted registry shared by N tables would interleave
             # every table's DDL versions into every other table's registry
@@ -166,11 +166,13 @@ class Changefeed:
         return self.registry
 
     def _apply_ddls(
-        self, batch: DataFrame, registry: list[SchemaVersion]
+        self, batch: DataFrame, registry: list[SchemaVersion], strict: bool = True
     ) -> tuple[list[SchemaVersion], DataFrame]:
         """Register in-stream DDLs (ts order, redelivery-safe), verify every
         DML schema_version is decodable, return (registry, DML-only batch).
-        One aggregate job over the (persisted) batch collects both."""
+        One aggregate job over the (persisted) batch collects both.
+        ``strict=False`` (dead-letter mode) skips the unknown-version raise —
+        the DLQ split quarantines those rows instead of wedging the feed."""
         meta = batch.agg(
             F.collect_set(
                 F.when(
@@ -204,7 +206,7 @@ class Changefeed:
                 registry = sorted(registry + [new], key=lambda v: v.schema_version)
             known.add(ver)
         missing = {int(v) for v in meta["versions"] if v is not None} - known
-        if missing:
+        if missing and strict:
             raise ValueError(
                 f"batch carries schema_version(s) {sorted(missing)} with no "
                 "registered schema and no in-batch DDL — the DDL event must "
@@ -274,22 +276,85 @@ class Changefeed:
         gate = min(state.values()) if len(state) > 1 else None
         return gate, {"shard_vers": dict(state)}
 
+    def _dead_letter_split(
+        self, batch: DataFrame, registry: list[SchemaVersion],
+        table: CowTable, batch_id: int,
+    ) -> tuple[DataFrame, dict | None]:
+        """Quarantine rows the pipeline cannot apply — unregistered
+        schema_version, JSON-undecodable payload, NULL key — into
+        ``{table}/_dlq/`` and return (clean batch, manifest-extra update).
+        The DLQ reference rides the epoch's atomic manifest commit, so a
+        restart still sees the quarantined rows. Quarantined rows neither
+        advance nor hold the frontier; a later ``replace`` re-applies them
+        at their original commit_ts and the version-conditional merge
+        absorbs the ordering."""
+        from functools import reduce as _reduce
+
+        known = [v.schema_version for v in registry]
+        not_ddl = F.col("op") != "DDL"
+        bad_version = not_ddl & (
+            F.col("schema_version").isNull()
+            | ~F.col("schema_version").isin(known)
+        )
+        null_key = not_ddl & _reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in table.key_cols]
+        )
+        # try_parse_json: NULL for malformed JSON regardless of schema
+        # (from_json in PERMISSIVE mode returns an all-NULL struct instead,
+        # which is indistinguishable from a legitimately-sparse payload)
+        bad_payload = (
+            F.col("op").isin("I", "U")
+            & F.col("payload").isNotNull()
+            & F.try_parse_json("payload").isNull()
+        )
+        reason = (
+            F.when(bad_version, "unregistered_schema_version")
+            .when(null_key, "null_key")
+            .when(bad_payload, "undecodable_payload")
+        )
+        poisoned = reason.isNotNull()
+        # one small job over the (caller-persisted) batch; dead_letter is
+        # opt-in, so feeds that can't see poison pay nothing
+        if batch.filter(poisoned).limit(1).count() == 0:
+            return batch, None
+        m = table.current_manifest()
+        rel = f"_dlq/s{int(m['seq']) + 1}_b{batch_id}"
+        (
+            batch.filter(poisoned)
+            .withColumn("reason", reason)
+            .write.mode("overwrite")
+            .parquet(f"{table.root}/{rel}")
+        )
+        return (
+            batch.filter(~poisoned),
+            {"dlq": list(m.get("dlq") or []) + [rel]},
+        )
+
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
             if self.tables is None:
                 registry = self._current_registry()
                 if self.ddl_in_stream:
-                    registry, batch_dml = self._apply_ddls(batch, registry)
+                    registry, batch_dml = self._apply_ddls(
+                        batch, registry, strict=not self.dead_letter
+                    )
                     if self.registry_path is None:
                         self.registry = registry
                 else:
                     batch_dml = batch
+                dlq_extra = None
+                if self.dead_letter:
+                    batch_dml, dlq_extra = self._dead_letter_split(
+                        batch_dml, registry, self.table, int(batch_id)
+                    )
                 self._evolve_sink_schema(self.table, registry)
                 res = apply_epoch(
                     self.table, registry, batch_dml, int(batch_id),
                     decoder=self.decoder, strict_frontier=self.strict_frontier,
                     frontier_mode=self.frontier_mode,
+                    capture_net=self.validate_every > 0,
+                    manifest_extra=dlq_extra,
                 )
                 self.batch_log.append((int(batch_id), res.stats))
                 if self.validate_every > 0 and not res.stats.skipped:
@@ -319,6 +384,7 @@ class Changefeed:
                             .agg(F.max("schema_version").alias("v"))
                             .collect()
                         )
+                any_applied = False
                 for name in sorted(self.tables):
                     tbl, reg = self.tables[name]
                     sub = batch.filter(F.col(self.table_col) == name)
@@ -326,16 +392,35 @@ class Changefeed:
                         # per-table DDL barrier: register this table's DDLs
                         # against ITS registry, then drop the DDL rows so
                         # they never reach the LWW as null-key rows
-                        reg, sub = self._apply_ddls(sub, reg)
+                        reg, sub = self._apply_ddls(
+                            sub, reg, strict=not self.dead_letter
+                        )
                         self.tables[name] = (tbl, reg)
                     self._evolve_sink_schema(tbl, reg)
                     version_gate, extra = self._shard_barrier(name, tbl, shard_maxima)
+                    if self.dead_letter:
+                        sub, dlq_extra = self._dead_letter_split(
+                            sub, reg, tbl, int(batch_id)
+                        )
+                        if dlq_extra is not None:
+                            extra = {**(extra or {}), **dlq_extra}
                     res = apply_epoch(
                         tbl, reg, sub, int(batch_id), decoder=self.decoder,
                         strict_frontier=self.strict_frontier,
                         version_gate=version_gate, manifest_extra=extra,
+                        capture_net=self.validate_every > 0,
                     )
                     self.batch_log.append((int(batch_id), name, res.stats))
+                    any_applied = any_applied or not res.stats.skipped
+                if self.validate_every > 0 and any_applied:
+                    # one validation cadence for the whole feed; each target
+                    # validates against its own captured nets (the reference
+                    # DM validator covers every replicated table)
+                    self._batches_since_validation += 1
+                    if self._batches_since_validation >= self.validate_every:
+                        self._batches_since_validation = 0
+                        for name in sorted(self.tables):
+                            self.validate_now(table_name=name)
         finally:
             batch.unpersist()
 
@@ -375,26 +460,232 @@ class Changefeed:
             .orderBy("batch_id")
         )
 
-    def validate_now(self, n_chunks: int = 16) -> dict:
+    def _target(self, table_name: str | None):
+        """(table, registry) for a validation target — the single table, or
+        one entry of a multi-table feed."""
+        if table_name is not None:
+            assert self.tables is not None and table_name in self.tables, table_name
+            tbl, reg = self.tables[table_name]
+            return tbl, reg
+        assert self.table is not None, (
+            "multi-table feed: pass validate_now(table_name=...)"
+        )
+        return self.table, self._current_registry()
+
+    def validate_now(
+        self, n_chunks: int = 16, table_name: str | None = None, full: bool = False
+    ) -> dict:
         """One continuous-validation epoch (reference dm/syncer/
         data_validator.go:1-120 — validate rows *during* replication with
-        failed-row tracking, vs the post-hoc verify_changefeed): chunk-diff
-        the SETTLED region (winning commit_ts <= the global resolved
-        watermark — rows above it are still in flight, exactly the rows the
-        reference validator holds as pending/retry) of the buckets changed
-        since the last validation against the expected state derived from
-        the source log. Cost ∝ changed buckets on the table side; the
-        source-log scan is key-restricted to those buckets before the LWW
-        aggregate. Findings commit to the table manifest (atomic,
-        restart-visible) and append to ``validation_log``."""
+        failed-row tracking, vs the post-hoc verify_changefeed).
+
+        Incremental (default, requires ``validate_every`` capture or a
+        manual epoch run with capture on): diff the SETTLED region (winning
+        commit_ts <= the global resolved watermark — rows above it are
+        still in flight, exactly the rows the reference validator holds as
+        pending/retry) of the epochs' CAPTURED net rows against the table
+        read-back restricted to those rows' buckets and keys. Cost ∝ rows
+        replicated since the last validation + affected-bucket read-back;
+        the source log is NEVER rescanned (the r4 full-log derivation
+        rescanned O(whole log) per validation — at the 10^10-event target
+        that dwarfs the feed itself). In-flight winners persist as the
+        validator's pending-expected store and re-enter the next epoch.
+        Correctness leans on the source contract (kv.go:58-66): once the
+        watermark passes a ts, no later event arrives below it — so a
+        settled captured winner IS the newest version of its key.
+
+        A second, also log-free check guards the rest of the affected
+        buckets: rows NOT touched by this window's captures must be
+        bit-identical to the snapshot at the capture baseline (catches
+        merge-path row loss and post-baseline file corruption). What this
+        epoch-scoped pair deliberately does NOT cover — matching the
+        reference validator, which only sees rows as they flow — is bit-rot
+        of rows whose last write predates the capture baseline; that is the
+        offline audit's job (``full=True`` / verify_changefeed).
+
+        ``full=True`` (or a feed without capture) is the offline audit: the
+        r4 behavior, re-deriving expected state from the whole source log.
+        Findings commit to the table manifest (atomic, restart-visible) and
+        append to ``validation_log``."""
+        table, registry = self._target(table_name)
+        if full or not self.validate_every:
+            return self._validate_full(table, registry, table_name, n_chunks)
+
+        from tiflow_spark.operators.lww import lww_latest
+        from tiflow_spark.operators.validate import diff_tables
+
+        m = table.current_manifest()
+        cur = int(m["seq"])
+        resolved = m.get("resolved_ts")
+        nets = list(m.get("validator_nets") or [])
+        pend_rel = m.get("validator_pending")
+        if resolved is None or (not nets and not pend_rel):
+            return {"skipped": True, "reason": "nothing captured to validate"}
+
+        frames = [
+            self.spark.read.parquet(f"{table.root}/{rel}")
+            for rel in [*nets, *( [pend_rel] if pend_rel else [] )]
+        ]
+        allnet = frames[0].drop("_n_events")
+        for f in frames[1:]:
+            allnet = allnet.unionByName(f.drop("_n_events"), allowMissingColumns=True)
+        winners = lww_latest(allnet, table.key_cols).persist()
+        try:
+            settled = winners.filter(F.col("commit_ts") <= F.lit(int(resolved)))
+            inflight = winners.filter(F.col("commit_ts") > F.lit(int(resolved)))
+            # pending-expected generation written BEFORE the manifest that
+            # references it (crash-safe; orphans vacuumed)
+            new_pend = f"_validator/pending/s{cur + 1}"
+            inflight.write.mode("overwrite").parquet(f"{table.root}/{new_pend}")
+
+            buckets = sorted(
+                int(r["bucket"]) for r in settled.select("bucket").distinct().collect()
+            )
+            snap = table.snapshot(include_tombstones=True, buckets=buckets)
+            # superseded guard: a settled expected row whose TABLE version
+            # is strictly newer is skipped on both sides — the newer write
+            # was (or will be) validated by its own capture window, and the
+            # expected event was a LWW no-op by design. This absorbs
+            # out-of-contract late events (a commit-ts band split across
+            # microbatch boundaries delivers rows below an already-advanced
+            # watermark) and pre-capture table state. A LOST write is still
+            # caught: losing a write leaves the table version OLDER than
+            # (or missing vs) the expected winner.
+            joined = snap.join(
+                settled.select(
+                    *table.key_cols,
+                    F.col("commit_ts").alias("_e_cts"),
+                    F.col("start_ts").alias("_e_sts"),
+                    F.col("op_order").alias("_e_ord"),
+                ),
+                on=list(table.key_cols), how="inner",
+            )
+            newer = F.struct(
+                F.col("__commit_ts"), F.col("__start_ts"), F.col("__op_order")
+            ) > F.struct(F.col("_e_cts"), F.col("_e_sts"), F.col("_e_ord"))
+            superseded = joined.filter(newer).select(*table.key_cols)
+            expected = (
+                table._with_all_data_cols(settled)
+                .filter(F.col("op") != "D")
+                .join(superseded, on=list(table.key_cols), how="left_anti")
+                .select(*table.key_cols, *table.data_cols)
+            )
+            actual = (
+                joined.filter(~newer & ~F.col("__deleted"))
+                .select(*table.key_cols, *table.data_cols)
+            )
+            input_files = sorted(set(expected.inputFiles()) | set(actual.inputFiles()))
+            result = diff_tables(
+                expected, actual, key_cols=list(table.key_cols),
+                compare_cols=list(table.data_cols), n_chunks=n_chunks,
+            )
+            # frozen-region check: rows in the affected buckets NOT touched
+            # by this window's captures must be bit-identical to the
+            # snapshot at the capture baseline (the manifest before the
+            # first captured epoch) — catches co-bucket corruption the
+            # key-restricted compare can't see, still without touching the
+            # source log. Skipped (recorded) if vacuum expired the baseline.
+            frozen = None
+            if nets:
+                baseline_seq = (
+                    min(
+                        int(rel.rsplit("/", 1)[1][1:].split("_b")[0])
+                        for rel in nets
+                    )
+                    - 1
+                )
+                all_keys = winners.select(*table.key_cols)
+                gc_below = m.get("gc_below")
+
+                def _frozen_side(df):
+                    df = df.join(
+                        all_keys, on=list(table.key_cols), how="left_anti"
+                    )
+                    if gc_below is not None:
+                        # tombstones below the GC horizon may legitimately
+                        # disappear between validations (gc_tombstones)
+                        df = df.filter(
+                            ~(F.col("__deleted")
+                              & (F.col("__commit_ts") < int(gc_below)))
+                        )
+                    return df.select(
+                        *table.key_cols, *table.data_cols, "__deleted"
+                    )
+
+                try:
+                    base = table.snapshot(
+                        include_tombstones=True, as_of_seq=baseline_seq,
+                        buckets=buckets,
+                    )
+                    input_files = sorted(set(input_files) | set(base.inputFiles()))
+                    frozen = diff_tables(
+                        _frozen_side(base), _frozen_side(snap),
+                        key_cols=list(table.key_cols),
+                        compare_cols=[*table.data_cols, "__deleted"],
+                        n_chunks=n_chunks,
+                    )
+                except FileNotFoundError:
+                    frozen = None  # baseline expired by vacuum — recorded
+        finally:
+            winners.unpersist()
+        record = {
+            "mode": "incremental",
+            "validated_at_seq": cur,
+            "epochs_covered": len(nets),
+            "buckets": buckets,
+            "resolved_ts": int(resolved),
+            "n_chunks": result.n_chunks,
+            "mismatched_chunks": result.mismatched_chunks,
+            "replicated_row_diffs": result.row_diffs,
+            "frozen_row_diffs": frozen.row_diffs if frozen is not None else None,
+            "frozen_mismatched_chunks": (
+                frozen.mismatched_chunks if frozen is not None else None
+            ),
+            "row_diffs": result.row_diffs
+            + (frozen.row_diffs if frozen is not None else 0),
+            "ok": result.identical
+            and (frozen is None or frozen.identical),
+        }
+        table._commit_manifest(
+            {
+                **m,
+                "seq": cur + 1,
+                "validation": record,
+                "validated_seq": cur + 1,
+                "validator_nets": [],
+                "validator_pending": new_pend,
+                "committed_at": time.time(),
+                "lineage": [],
+            }
+        )
+        # consumed captures (and the superseded pending generation) are now
+        # unreferenced — reclaim eagerly; vacuum also catches them
+        import shutil as _shutil
+
+        for rel in nets:
+            _shutil.rmtree(f"{table.root}/{rel}", ignore_errors=True)
+        if pend_rel:
+            _shutil.rmtree(f"{table.root}/{pend_rel}", ignore_errors=True)
+        self.validation_log.append((cur, record))
+        return {**record, "input_files": input_files}
+
+    def _validate_full(
+        self,
+        table: CowTable,
+        registry: list[SchemaVersion],
+        table_name: str | None,
+        n_chunks: int,
+    ) -> dict:
+        """The offline-audit path (the r4 derivation): re-derive expected
+        state from the source log, restricted to the buckets changed since
+        the last validation. O(whole log) I/O per call — use the
+        incremental path for continuous validation."""
         import glob as _glob
 
         from tiflow_spark.functions.decode import decode_payload
         from tiflow_spark.operators.lww import lww_latest, with_op_order
         from tiflow_spark.operators.validate import diff_tables
 
-        assert self.table is not None, "validate_now() is per-table"
-        table = self.table
         m = table.current_manifest()
         cur = int(m["seq"])
         resolved = m.get("resolved_ts")
@@ -420,9 +711,16 @@ class Changefeed:
         events = events.filter(
             (F.col("op") != "DDL") & (F.col("commit_ts") <= resolved)
         )
+        if table_name is not None:
+            if self.route_rules:
+                # shard events route to this target — re-run routing on the
+                # raw log so the audit sees what the feed saw
+                from tiflow_spark.operators.filters import route_tables
+
+                events = route_tables(events, self.route_rules, self.table_col)
+            events = events.filter(F.col(self.table_col) == table_name)
         if changed is not None:
             events = events.filter(bucket_col.isin([int(b) for b in changed]))
-        registry = self._current_registry()
         dec = decode_payload(
             lww_latest(with_op_order(events), table.key_cols), registry
         ).filter(F.col("op") != "D")
@@ -475,6 +773,79 @@ class Changefeed:
         )
         self.validation_log.append((cur, record))
         return record
+
+    def dlq_list(self, table_name: str | None = None) -> DataFrame | None:
+        """Quarantined events awaiting resolution (reference
+        dm/syncer/handle_error.go's error list / `query-status` errors),
+        with their quarantine ``reason``. None when the DLQ is empty."""
+        table, _ = self._target(table_name)
+        refs = table.current_manifest().get("dlq") or []
+        if not refs:
+            return None
+        out = self.spark.read.parquet(f"{table.root}/{refs[0]}")
+        for rel in refs[1:]:
+            out = out.unionByName(
+                self.spark.read.parquet(f"{table.root}/{rel}"),
+                allowMissingColumns=True,
+            )
+        return out
+
+    def dlq_resolve(
+        self,
+        action: str,
+        replacement: DataFrame | None = None,
+        table_name: str | None = None,
+    ) -> dict:
+        """Resolve the dead-letter queue — the reference's binlog-event
+        skip/replace (/root/reference/dm/syncer/handle_error.go:41-120):
+
+        - ``action="skip"``: drop the quarantined events permanently (the
+          operator judged them garbage);
+        - ``action="replace"``: apply ``replacement`` — corrected change
+          events in the feed's event shape — as a regular epoch; the DLQ
+          clears atomically with that merge, and the rows land at their
+          own commit_ts through the same LWW/fence path as live traffic.
+
+        Returns {"resolved": n_quarantined, "applied": n_events}."""
+        if action not in ("skip", "replace"):
+            raise ValueError(f"unknown DLQ action {action!r} (skip|replace)")
+        table, registry = self._target(table_name)
+        m = table.current_manifest()
+        refs = list(m.get("dlq") or [])
+        if not refs:
+            return {"resolved": 0, "applied": 0}
+        n = self.dlq_list(table_name).count()
+        applied = 0
+        if action == "skip":
+            table._commit_manifest(
+                {
+                    **m,
+                    "seq": int(m["seq"]) + 1,
+                    "dlq": [],
+                    "committed_at": time.time(),
+                    "lineage": [],
+                }
+            )
+        elif action == "replace":
+            if replacement is None:
+                raise ValueError("dlq_resolve('replace') needs the corrected events")
+            drop = [
+                c for c in (self.table_col, "__shard", "reason")
+                if c in replacement.columns
+            ]
+            res = apply_epoch(
+                table, registry, replacement.drop(*drop),
+                table.last_committed_batch() + 1,
+                decoder=self.decoder,
+                manifest_extra={"dlq": []},
+                capture_net=self.validate_every > 0,
+            )
+            applied = int(res.stats.applied_events)
+        import shutil as _shutil
+
+        for rel in refs:
+            _shutil.rmtree(f"{table.root}/{rel}", ignore_errors=True)
+        return {"resolved": int(n), "applied": applied}
 
     def synced(self, lag_threshold: int = 0) -> bool:
         """`synced` status check analog (/root/reference/cdc/owner/
@@ -540,6 +911,9 @@ class Changefeed:
         dispatch: str = "index-value",
         timeout_sec: int = 600,
         bootstrap_interval: int = 0,
+        dispatch_columns: tuple[str, ...] | None = None,
+        topic_expr: str | None = None,
+        schema_name: str = "default",
     ) -> None:
         """Changefeed to an MQ sink instead of a table: each microbatch's
         events are decoded, canal-JSON-encoded with partition routing, and
@@ -556,54 +930,133 @@ class Changefeed:
         a consumer joining at batch k>0 rebuilds the registry from at most
         N epochs of look-back (sinks/mq.mq_registry) instead of replaying
         from the beginning. The one-shot DDL broadcast alone can't serve a
-        consumer whose retention window no longer holds the DDL's epoch."""
+        consumer whose retention window no longer holds the DDL's epoch.
+
+        Multi-table feeds (``tables=``) fan out to per-table TOPICS:
+        ``topic_expr`` (default ``"{schema}_{table}"``) routes each row by
+        the reference's topic expression (dispatcher/topic/expression.go);
+        watermark/DDL/bootstrap broadcasts go to every topic × partition so
+        a single-topic consumer stays complete. ``dispatch_columns`` feeds
+        the "columns" partition dispatcher (columns.go:45-87)."""
         from tiflow_spark.functions.decode import decode_payload
-        from tiflow_spark.sinks.mq import encode_for_mq
+        from tiflow_spark.operators.frontier import partition_frontiers
+        from tiflow_spark.sinks.mq import (
+            bootstrap_messages,
+            ddl_messages,
+            encode_for_mq,
+            resolve_topic,
+            resolved_messages,
+        )
+
+        if self.tables is not None and topic_expr is None:
+            topic_expr = "{schema}_{table}"
+
+        def _broadcast_topics(frame: DataFrame, topics: list[str | None]) -> DataFrame:
+            """Stamp control messages (watermark/DDL/bootstrap) onto every
+            topic of the feed; None = no topic routing (single-table)."""
+            if topics == [None]:
+                return frame
+            return frame.crossJoin(
+                self.spark.createDataFrame([(t,) for t in topics], "topic STRING")
+            )
 
         def emit(batch: DataFrame, batch_id: int) -> None:
             batch = batch.persist()
             try:
-                registry = self._current_registry()
-                if self.ddl_in_stream:
-                    registry, batch_dml = self._apply_ddls(batch, registry)
-                    if self.registry_path is None:
-                        self.registry = registry
+                frames: list[DataFrame] = []
+                if self.tables is None:
+                    registry = self._current_registry()
+                    if self.ddl_in_stream:
+                        registry, batch_dml = self._apply_ddls(batch, registry)
+                        if self.registry_path is None:
+                            self.registry = registry
+                    else:
+                        batch_dml = batch
+                    topics: list[str | None] = (
+                        [resolve_topic(topic_expr, "default", schema_name)]
+                        if topic_expr is not None else [None]
+                    )
+                    frame = encode_for_mq(
+                        decode_payload(batch_dml, registry),
+                        n_partitions=n_partitions,
+                        dispatch=dispatch,
+                        dispatch_columns=dispatch_columns,
+                    )
+                    if topics != [None]:
+                        frame = frame.withColumn("topic", F.lit(topics[0]))
+                    frames.append(frame)
+                    registries = [registry]
+                    ddl_src = [(batch, topics[0])]
                 else:
-                    batch_dml = batch
-                frame = encode_for_mq(
-                    decode_payload(batch_dml, registry),
-                    n_partitions=n_partitions,
-                    dispatch=dispatch,
-                )
-                # watermark flush: this epoch's resolved-ts broadcast to
-                # every partition (reference mq sink resolved-ts flush);
-                # DDL rows broadcast likewise (MQ DDL sink) so consumers
-                # keep schema lockstep
-                from tiflow_spark.operators.frontier import partition_frontiers
-                from tiflow_spark.sinks.mq import ddl_messages, resolved_messages
-
+                    # per-table registry decode; rows route to their topic
+                    topics = []
+                    registries = []
+                    ddl_src = []
+                    for name in sorted(self.tables):
+                        tbl, reg = self.tables[name]
+                        sub = batch.filter(F.col(self.table_col) == name)
+                        if self.ddl_in_stream:
+                            reg, sub_dml = self._apply_ddls(sub, reg)
+                            self.tables[name] = (tbl, reg)
+                        else:
+                            sub_dml = sub.filter(F.col("op") != "DDL")
+                        frames.append(
+                            encode_for_mq(
+                                decode_payload(sub_dml, reg),
+                                n_partitions=n_partitions,
+                                dispatch=dispatch,
+                                dispatch_columns=dispatch_columns,
+                                topic_expr=topic_expr,
+                                table_col=self.table_col,
+                                schema_name=schema_name,
+                            )
+                        )
+                        topics.append(resolve_topic(topic_expr, name, schema_name))
+                        registries.append(reg)
+                        ddl_src.append((sub, topics[-1]))
+                frame = frames[0]
+                for f in frames[1:]:
+                    frame = frame.unionByName(f)
+                # watermark flush: this epoch's GLOBAL resolved-ts broadcast
+                # to every topic × partition (reference mq sink resolved-ts
+                # flush); DDL rows broadcast likewise (MQ DDL sink) so
+                # consumers keep schema lockstep
+                dml = batch.filter(F.col("op") != "DDL")
                 fr = (
-                    partition_frontiers(batch_dml)
+                    partition_frontiers(dml)
                     .agg(F.min("resolved_ts"))
                     .first()[0]
                 )
                 if fr is not None:
                     frame = frame.unionByName(
-                        resolved_messages(self.spark, int(fr), n_partitions)
+                        _broadcast_topics(
+                            resolved_messages(self.spark, int(fr), n_partitions),
+                            topics,
+                        ),
+                        allowMissingColumns=False,
                     )
                 if self.ddl_in_stream:
-                    frame = frame.unionByName(
-                        ddl_messages(
-                            batch.filter(F.col("op") == "DDL"), n_partitions
+                    for src, topic in ddl_src:
+                        ddls = ddl_messages(
+                            src.filter(F.col("op") == "DDL"), n_partitions
                         )
-                    )
+                        frame = frame.unionByName(
+                            _broadcast_topics(ddls, [topic])
+                        )
                 if bootstrap_interval > 0 and batch_id % bootstrap_interval == 0:
-                    from tiflow_spark.sinks.mq import bootstrap_messages
-
-                    frame = frame.unionByName(
-                        bootstrap_messages(self.spark, registry, n_partitions)
-                    )
-                frame.write.mode("overwrite").parquet(f"{mq_dir}/batch={batch_id}")
+                    for reg, topic in zip(registries, topics):
+                        frame = frame.unionByName(
+                            _broadcast_topics(
+                                bootstrap_messages(self.spark, reg, n_partitions),
+                                [topic],
+                            )
+                        )
+                w = frame.write.mode("overwrite")
+                if "topic" in frame.columns:
+                    # per-topic subtrees — the broker's physical topic split;
+                    # a single-topic consumer prunes to its own dir
+                    w = w.partitionBy("topic")
+                w.parquet(f"{mq_dir}/batch={batch_id}")
                 self.batch_log.append((int(batch_id), "mq"))
             finally:
                 batch.unpersist()
