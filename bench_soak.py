@@ -9,7 +9,11 @@ every mechanism exercised (source offsets, epoch fencing, frontier
 carry-forward, bucketed merges, auto-vacuum) is scale-invariant; only the
 epoch count changes.
 
-Usage:  python bench_soak.py [n_convs]     (default 4_000_000 ≈ 100M events)
+Usage:  python bench_soak.py [n_convs] [max_files_per_trigger]
+        (defaults 4_000_000 ≈ 100M events, 32 files/trigger — at 10^9
+        events use a smaller trigger, e.g. 8, so a microbatch's reduce fits
+        the single-JVM executor memory; on a real cluster this is the
+        per-changefeed memory-quota knob)
 Prints one JSON line and appends a summary to BENCH.md.
 """
 
@@ -31,6 +35,19 @@ WORKDIR = (
 
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    max_files = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    # sink mode: COW rewrites every affected bucket per epoch — on a
+    # commit-ts-banded feed every epoch touches EVERY bucket, so COW
+    # re-writes the whole table each microbatch (fine at 10^8 where the
+    # table is small; quadratic wall-time by 10^9). MOR appends O(epoch)
+    # deltas with periodic compaction — the sink a 10^10-event ingest
+    # actually runs (BENCH.md measures MOR 1.8x at stream cadence).
+    mode = sys.argv[3] if len(sys.argv) > 3 else "cow"
+    # lifecycle length: more updates per key = more events per live row.
+    # The 10^9-event run uses a longer lifecycle (m=19, ~65 events/conv)
+    # so the LIVE table fits the single box; the reference's 10^10 target
+    # is update-heavy in the same way (a binlog is mostly updates).
+    extra_updates = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     shutil.rmtree(WORKDIR, ignore_errors=True)
     os.makedirs(WORKDIR)
 
@@ -42,7 +59,8 @@ def main() -> None:
     from tiflow_spark.streaming.runner import Changefeed
 
     spark = get_spark("tiflow_soak", cores=32, shuffle_partitions=32)
-    spec = GenSpec(n_convs=n_convs, hot_turns=256, n_source_partitions=32)
+    spec = GenSpec(n_convs=n_convs, hot_turns=256, n_source_partitions=32,
+                   max_extra_updates=extra_updates)
     events_dir = f"{WORKDIR}/events"
     t0 = time.time()
     write_epoch_files(spark, spec, events_dir)
@@ -51,13 +69,14 @@ def main() -> None:
     n_events = spark.read.parquet(*epochs).count()
 
     registry = default_registry(spec.ddl_ts)
-    table = CowTable(spark, f"{WORKDIR}/table", n_buckets=64, auto_vacuum_keep=3)
+    table = CowTable(spark, f"{WORKDIR}/table", n_buckets=64, auto_vacuum_keep=3,
+                     mode=mode, auto_compact_deltas=24 if mode == "mor" else None)
 
     def feed(pattern: str) -> Changefeed:
         return Changefeed(
             spark=spark, events_dir=pattern,
             checkpoint_dir=f"{WORKDIR}/ckpt", table=table,
-            registry=registry, max_files_per_trigger=32,
+            registry=registry, max_files_per_trigger=max_files,
         )
 
     # phase 1: drain roughly the first half of the epoch files, then the
@@ -83,7 +102,7 @@ def main() -> None:
     f3 = Changefeed(
         spark=spark, events_dir=events_dir + "/epoch_*",
         checkpoint_dir=f"{WORKDIR}/ckpt_replay", table=table,
-        registry=registry, max_files_per_trigger=32,
+        registry=registry, max_files_per_trigger=max_files,
     )
     f3.run_available_now(timeout_sec=3600)
     phase3_dt = time.time() - t0
@@ -99,6 +118,7 @@ def main() -> None:
     stream_dt = phase1_dt + phase2_dt
     summary = {
         "metric": "soak: streaming replay + restart + fence replay + sync-diff",
+        "sink_mode": mode,
         "events": int(n_events),
         "epoch_files": len(epochs),
         "gen_seconds": round(gen_dt, 1),

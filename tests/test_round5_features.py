@@ -460,3 +460,155 @@ def test_dead_letter_skip_and_vacuum(spark, tmp_path):
 
     with pytest.raises(ValueError, match="skip\\|replace"):
         feed.dlq_resolve("inject")
+
+
+# ---------------------------------------------------------------- VERDICT
+# breadth: MQ column selector (reference columnselector/column_selector.go)
+
+def test_column_selector_rule_semantics():
+    """Rule resolution follows the reference: the FIRST rule whose matcher
+    hits the table applies; within a rule the LAST matching column pattern
+    decides (tidb table-filter ColumnFilter); a column matching no pattern
+    is dropped; unmatched tables pass through (None)."""
+    from tiflow_spark.sinks.mq import ColumnSelector
+
+    sel = ColumnSelector([
+        (("chats*",), ("*", "!tool")),
+        (("chats_archive",), ("role",)),       # shadowed by the first rule
+        (("orders",), ("conv_id", "turn_idx", "note")),
+    ])
+    keys = ("conv_id", "turn_idx")
+    assert sel.retained("chats", ["role", "text", "tool"], keys) == ["role", "text"]
+    # first-match-wins: chats_archive hits rule 1 ('chats*'), not rule 2
+    assert sel.retained("chats_archive", ["role", "text", "tool"], keys) == ["role", "text"]
+    # explicit keep-list: unlisted columns drop
+    assert sel.retained("orders", ["note", "amount"], keys) == ["note"]
+    # unmatched table: transformer does not apply
+    assert sel.retained("audit", ["x"], keys) is None
+    # last-match-wins: a later positive pattern re-keeps a dropped column
+    sel2 = ColumnSelector([(("t",), ("*", "!se*", "secret_keep"))])
+    assert sel2.retained("t", ["a", "secret", "secret_keep"], keys) == ["a", "secret_keep"]
+    # verifyIndices analog: dropping a handle key fails loudly at plan time
+    with pytest.raises(ValueError, match="primary key"):
+        ColumnSelector([(("t",), ("role",))]).retained("t", ["role"], keys)
+    with pytest.raises(ValueError, match="at least one rule"):
+        ColumnSelector([])
+
+
+def test_column_selector_envelope_projection(spark):
+    """encode_for_mq(column_selector=...) projects each table's message
+    data block through its first matching rule — selected-out columns never
+    appear in the canal-JSON envelope; unmatched tables keep every column.
+    Key columns always survive (they ride both key and data blocks)."""
+    import json as _json
+
+    from tiflow_spark.sinks.mq import ColumnSelector, encode_for_mq
+
+    rows = [
+        ("I", 10, 9, "c1", 0, "u", "hi", "grep", "chats"),
+        ("I", 10, 9, "o1", 0, "sys", "n1", "curl", "orders"),
+        ("I", 10, 9, "a1", 0, "aud", "x", "tail", "audit"),
+    ]
+    frame = spark.createDataFrame(
+        rows,
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, "
+        "turn_idx INT, role STRING, text STRING, tool STRING, table_name STRING",
+    )
+    sel = ColumnSelector([
+        (("chats",), ("*", "!tool")),
+        (("orders",), ("conv_id", "turn_idx", "role")),
+    ])
+    enc = encode_for_mq(frame, n_partitions=2, column_selector=sel)
+    by_table = {}
+    for r in frame.select("table_name", "conv_id").collect():
+        by_table[r["conv_id"]] = r["table_name"]
+    datas = {
+        by_table[_json.loads(r["key"])["conv_id"]]:
+            set(_json.loads(r["value"])["data"].keys())
+        for r in enc.collect()
+    }
+    assert datas["chats"] == {"conv_id", "turn_idx", "role", "text"}
+    assert datas["orders"] == {"conv_id", "turn_idx", "role"}
+    assert datas["audit"] == {"conv_id", "turn_idx", "role", "text", "tool"}
+
+
+def test_column_selector_single_table_and_empty(spark):
+    """Selector on a frame without table_name applies the schema-name match
+    (single-table feed); an empty frame encodes without error."""
+    import json as _json
+
+    from tiflow_spark.sinks.mq import ColumnSelector, encode_for_mq
+
+    frame = spark.createDataFrame(
+        [("I", 10, 9, "c1", 0, "u", "hi", "grep")],
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, "
+        "turn_idx INT, role STRING, text STRING, tool STRING",
+    )
+    sel = ColumnSelector([(("default",), ("*", "!tool"))])
+    enc = encode_for_mq(frame, n_partitions=2, column_selector=sel)
+    data = _json.loads(enc.collect()[0]["value"])["data"]
+    assert set(data.keys()) == {"conv_id", "turn_idx", "role", "text"}
+    empty = encode_for_mq(frame.limit(0), n_partitions=2, column_selector=sel)
+    assert empty.count() == 0
+
+
+# ---------------------------------------------------------------- VERDICT
+# breadth: storage-consumer as a first-class API (cmd/storage-consumer)
+
+@pytest.mark.parametrize("fmt", ["json", "csv"])
+def test_replay_storage_reconstructs_state(spark, tmp_path, fmt):
+    """replay_storage decodes each version dir against its OWN schema file
+    (text files carry no types — the schema file is the contract), NULL-
+    backfills pre-DDL files, and merges fenced: re-running is a no-op."""
+    import datetime as _dt
+
+    from tiflow_spark.sinks.storage import replay_storage, write_change_files
+    from tiflow_spark.sources.registry import default_registry
+
+    registry = default_registry(ddl_ts=15)
+    ts = _dt.datetime(2026, 1, 1)
+    v1_rows = [
+        ("I", 10, 9, 0, "c1", 0, 1, "u", "one", ts),
+        ("I", 12, 11, 0, "c2", 0, 1, "u", "two", ts),
+    ]
+    v2_rows = [
+        ("U", 20, 19, 0, "c1", 0, 2, "u", "one-v2", "grep", ts),
+        ("D", 30, 29, 0, "c2", 0, 2, None, None, None, None),
+        ("I", 25, 24, 0, "c3", 0, 2, "a", "three", None, ts),
+    ]
+    v1 = spark.createDataFrame(
+        v1_rows,
+        "op STRING, commit_ts LONG, start_ts LONG, source_partition INT, "
+        "conv_id STRING, turn_idx INT, schema_version INT, role STRING, "
+        "text STRING, ts TIMESTAMP",
+    )
+    v2 = spark.createDataFrame(
+        v2_rows,
+        "op STRING, commit_ts LONG, start_ts LONG, source_partition INT, "
+        "conv_id STRING, turn_idx INT, schema_version INT, role STRING, "
+        "text STRING, tool STRING, ts TIMESTAMP",
+    )
+    root = str(tmp_path / "storage")
+    write_change_files(v1, root, registry[0], batch_id=1, fmt=fmt)
+    write_change_files(v2, root, registry[1], batch_id=2, fmt=fmt)
+
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    res = replay_storage(spark, root, table, fmt=fmt)
+    assert res["files_versions"] == 2
+    got = {r["conv_id"]: (r["role"], r["text"], r["tool"])
+           for r in table.snapshot().collect()}
+    assert got == {"c1": ("u", "one-v2", "grep"), "c3": ("a", "three", None)}
+
+    # fenced: a second consumer run re-reads the same files as a no-op
+    before = table.last_committed_batch()
+    replay_storage(spark, root, table, fmt=fmt)
+    got2 = {r["conv_id"]: (r["role"], r["text"], r["tool"])
+            for r in table.snapshot().collect()}
+    assert got2 == got and table.last_committed_batch() >= before
+
+
+def test_replay_storage_requires_schema_files(spark, tmp_path):
+    from tiflow_spark.sinks.storage import replay_storage
+
+    with pytest.raises(FileNotFoundError, match="schema_"):
+        replay_storage(spark, str(tmp_path), CowTable(spark, str(tmp_path / "t")))

@@ -360,6 +360,37 @@ def q_cdc_mq_roundtrip(spark, sf_dir):
     return table.snapshot().select(*_SNAPSHOT_COLS)
 
 
+def q_cdc_storage_roundtrip(spark, sf_dir):
+    """The cloud-storage hop under the driver oracle
+    (/root/reference/cmd/storage-consumer/main.go): decoded change rows →
+    per-version CDC change files + schema_{v}.json (the storage sink's
+    directory contract) → storage consumer decodes each version against
+    its OWN schema file, NULL-backfills pre-DDL files, and merges into a
+    fresh table. The files alone must reconstruct the exact source state."""
+    from tiflow_spark.functions.decode import decode_payload
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sinks.storage import replay_storage, write_change_files
+
+    ce = change_events_payload(spark, sf_dir)
+    registry = _pipeline_registry()
+    dec = decode_payload(ce, registry)
+    root = _scratch_root(sf_dir + "#storert", "tiflow_storert_q_")
+    sink_dir = root + "/files"
+    for v in registry:
+        sub = dec.filter(F.col("schema_version") == v.schema_version).drop(
+            "pre_payload", "payload", "op_order"
+        )
+        if "tool" not in v.field_names:  # v1 files must not carry post-DDL cols
+            sub = sub.drop("tool")
+        write_change_files(sub, sink_dir, v, batch_id=v.schema_version)
+    table = CowTable(
+        spark, root + "/table", n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    replay_storage(spark, sink_dir, table)
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
 def q_cdc_cascade_snapshot(spark, sf_dir):
     """A cascade hop under the driver oracle: the full pipeline lands in
     table A; a CascadeFeed tails A's manifest (incremental CDF) into B;
@@ -1041,6 +1072,7 @@ QUERIES = {
     "cdc_mor_snapshot": q_cdc_mor_snapshot,
     "cdc_fence_idempotence": q_cdc_fence_idempotence,
     "cdc_mq_roundtrip": q_cdc_mq_roundtrip,
+    "cdc_storage_roundtrip": q_cdc_storage_roundtrip,
     "cdc_cascade_snapshot": q_cdc_cascade_snapshot,
     "cdc_strict_frontier": q_cdc_strict_frontier,
     "cdc_streaming_e2e": q_cdc_streaming_e2e,
@@ -1501,6 +1533,7 @@ ORACLES = {
     "cdc_gc_tombstones": _PIPELINE_SNAPSHOT_SQL,
     "cdc_fence_idempotence": _PIPELINE_SNAPSHOT_SQL,
     "cdc_mq_roundtrip": _PIPELINE_SNAPSHOT_SQL,
+    "cdc_storage_roundtrip": _PIPELINE_SNAPSHOT_SQL,
     "cdc_cascade_snapshot": _PIPELINE_SNAPSHOT_SQL,
     # strict fence: only events at or below the global watermark
     # (min over source partitions of max commit_ts) are visible

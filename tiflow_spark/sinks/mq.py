@@ -18,6 +18,7 @@ reference tests with (/root/reference/cmd/kafka-consumer/main.go:36).
 from __future__ import annotations
 
 import re
+from fnmatch import fnmatch
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -30,7 +31,11 @@ _TOPIC_EXPR_RE = re.compile(
 _KAFKA_FORBID = "[^a-zA-Z0-9._-]"
 
 
-def canal_json_envelope(decoded: DataFrame, key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> Column:
+def canal_json_envelope(
+    decoded: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    data_cols: list[str] | None = None,
+) -> Column:
     """Canal-JSON-like message: type, ts, pk names, data columns, plus the
     TiCDC extension block ``_tidb`` (reference canal_json_message.go's
     tidbExtension carries commitTs; ``startTs`` is added here because the
@@ -41,9 +46,10 @@ def canal_json_envelope(decoded: DataFrame, key_cols: tuple[str, ...] = ("conv_i
     skip = {"op", "op_order", "commit_ts", "start_ts", "schema_version",
             "source_partition", "payload", "pre_payload", "table_name",
             "__shard", *key_cols}
-    data_cols = [
-        c for c in decoded.columns if c not in skip and not c.startswith("pre_")
-    ]
+    if data_cols is None:
+        data_cols = [
+            c for c in decoded.columns if c not in skip and not c.startswith("pre_")
+        ]
     return F.to_json(
         F.struct(
             F.when(F.col("op") == "I", "INSERT")
@@ -142,6 +148,69 @@ def resolve_topic(expr: str, table_name: str, schema_name: str = "default") -> s
     )
 
 
+class ColumnSelector:
+    """Per-table column projection for MQ messages (reference
+    /root/reference/cdc/sink/dmlsink/mq/transformer/columnselector/
+    column_selector.go:26-121): each rule pairs table-matcher globs with a
+    column filter; the FIRST rule whose matcher hits the table applies
+    (column_selector.go:127-136), and unmatched tables pass through with
+    every column.
+
+    Column-filter semantics follow tidb's table-filter ColumnFilter (the
+    package the reference parses rules with): patterns are evaluated in
+    order and the LAST matching pattern decides — a ``!``-prefixed pattern
+    drops the column, a plain pattern keeps it; a column matching no
+    pattern is dropped. The reference's verifyIndices guard
+    (column_selector.go:78-83 — filtering out a handle-key column makes
+    the message un-mergeable downstream) is enforced driver-side at plan
+    time: a rule that would drop any ``key_cols`` raises ValueError.
+
+    Rules are ``(matcher_globs, column_patterns)`` tuples, e.g.::
+
+        ColumnSelector([ (("transcripts*",), ("*", "!tool")) ])
+    """
+
+    def __init__(self, rules: list[tuple[tuple[str, ...], tuple[str, ...]]]):
+        if not rules:
+            raise ValueError("ColumnSelector requires at least one rule")
+        self.rules = [
+            (tuple(matcher), tuple(patterns)) for matcher, patterns in rules
+        ]
+
+    @staticmethod
+    def _match_column(patterns: tuple[str, ...], col: str) -> bool:
+        keep = False
+        matched = False
+        for p in patterns:
+            neg = p.startswith("!")
+            if fnmatch(col, p[1:] if neg else p):
+                matched, keep = True, not neg
+        return matched and keep
+
+    def retained(
+        self,
+        table: str,
+        data_cols: list[str],
+        key_cols: tuple[str, ...],
+    ) -> list[str] | None:
+        """Columns the matched rule keeps, or None when no rule matches
+        (event passes unchanged, as in the reference transformer)."""
+        for matcher, patterns in self.rules:
+            if any(fnmatch(table, m) for m in matcher):
+                dropped_keys = [
+                    k for k in key_cols if not self._match_column(patterns, k)
+                ]
+                if dropped_keys:
+                    raise ValueError(
+                        "no primary key columns obtained after filter out: "
+                        f"rule {patterns!r} drops handle key(s) "
+                        f"{dropped_keys} for table {table!r} "
+                        "(column_selector.go verifyIndices)"
+                    )
+                return [c for c in data_cols if self._match_column(patterns, c)]
+        return None
+
+
 def encode_for_mq(
     decoded: DataFrame,
     n_partitions: int = 16,
@@ -151,16 +220,59 @@ def encode_for_mq(
     topic_expr: str | None = None,
     table_col: str = "table_name",
     schema_name: str = "default",
+    column_selector: "ColumnSelector | None" = None,
 ) -> DataFrame:
     """(key, value, partition[, topic]) message frame — the exact shape
     `df.write.format("kafka")` takes (``topic`` column = per-row topic
     routing, Spark's Kafka sink picks it up when no fixed topic option is
     set). ``topic_expr`` adds the routed topic (see topic_expression);
-    ``dispatch_columns`` names the hash columns for dispatch='columns'."""
+    ``dispatch_columns`` names the hash columns for dispatch='columns';
+    ``column_selector`` projects each table's message columns through its
+    first matching rule (ColumnSelector) — still one JVM projection: the
+    per-table envelopes form a ``when`` chain over the driver-side
+    distinct table set, never a per-row Python path."""
     tcol = table_col if table_col in decoded.columns else None
+    if column_selector is None:
+        value = canal_json_envelope(decoded, key_cols)
+    else:
+        skip = {"op", "op_order", "commit_ts", "start_ts", "schema_version",
+                "source_partition", "payload", "pre_payload", "table_name",
+                "__shard", *key_cols}
+        all_data = [
+            c for c in decoded.columns
+            if c not in skip and not c.startswith("pre_")
+        ]
+        tables = (
+            [r[0] for r in decoded.select(tcol).distinct().collect()]
+            if tcol is not None else [schema_name]
+        )
+        if not tables:  # empty batch: nothing to project, plain envelope
+            tables, tcol = [schema_name], None
+        # group tables by retained-column tuple so the when-chain stays
+        # short even on feeds with many tables sharing one rule
+        by_retained: dict[tuple[str, ...] | None, list[str]] = {}
+        for t in tables:
+            kept = column_selector.retained(t, all_data, key_cols)
+            by_retained.setdefault(
+                None if kept is None else tuple(kept), []
+            ).append(t)
+        value = None
+        for kept, tbls in by_retained.items():
+            env = canal_json_envelope(
+                decoded, key_cols,
+                data_cols=None if kept is None else list(kept),
+            )
+            if tcol is None:
+                value = env
+            elif value is None:
+                value = F.when(F.col(tcol).isin(tbls), env)
+            else:
+                value = value.when(F.col(tcol).isin(tbls), env)
+        if value is None:  # unreachable: tables is non-empty by now
+            raise RuntimeError("column selector produced no envelope branch")
     cols = [
         F.to_json(F.struct(*[F.col(c) for c in key_cols])).alias("key"),
-        canal_json_envelope(decoded, key_cols).alias("value"),
+        value.alias("value"),
         dispatch_partition(
             dispatch, n_partitions, key_cols,
             columns=dispatch_columns, table_col=tcol,

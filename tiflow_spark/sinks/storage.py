@@ -64,3 +64,94 @@ def read_change_files(spark: SparkSession, root: str, fmt: str = "json") -> Data
         )
     reader = spark.read.option("mergeSchema", "true")
     return reader.option("header", "true").csv(paths) if fmt == "csv" else reader.json(paths)
+
+
+# envelope columns every change file carries alongside the versioned data
+# columns; types are fixed by the engine's event schema (sources/events.py)
+_ENVELOPE_TYPES: dict[str, str] = {
+    "conv_id": "string",
+    "turn_idx": "int",
+    "op": "string",
+    "commit_ts": "bigint",
+    "start_ts": "bigint",
+    "op_order": "int",
+    "source_partition": "int",
+    "schema_version": "int",
+    "table_name": "string",
+}
+
+
+def replay_storage(spark: SparkSession, root: str, table, fmt: str = "json") -> dict:
+    """The storage-consumer loop as a first-class API
+    (/root/reference/cmd/storage-consumer/main.go:1 — the reference ships a
+    standalone consumer that walks the sink's directory layout, decodes
+    each table/version's CDC files against its `schema_{version}.json`,
+    and applies them to a downstream sink): read every version dir with
+    the types its OWN schema file declares (text formats carry no types —
+    the schema file is the consumer's source of truth, exactly the
+    reference's design, storage-sink design doc §schema file), NULL-
+    backfill columns the version predates, and merge into ``table``
+    exactly-once-in-effect (fenced by the table's own batch id, idempotent
+    on re-run).
+
+    Returns {"applied", "files_versions"}.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as PT
+
+    metas = sorted(_glob.glob(f"{root}/v*/schema_*.json"))
+    if not metas:
+        raise FileNotFoundError(
+            f"no schema_*.json under {root}/v*/ — not a storage-sink layout"
+        )
+    versions = []
+    for m in metas:
+        with open(m) as fh:
+            versions.append(json.load(fh))
+    latest = max(versions, key=lambda v: v["schema_version"])
+    latest_fields = PT.StructType.fromJson(latest["schema"]).fields
+
+    parts = []
+    for meta in sorted(versions, key=lambda v: v["schema_version"]):
+        vdir = f"{root}/v{meta['schema_version']}"
+        batch_dirs = sorted(
+            f"{vdir}/{d}" for d in os.listdir(vdir) if d.startswith("CDC")
+        )
+        if not batch_dirs:
+            continue
+        if fmt == "csv":
+            raw = (
+                spark.read.option("header", "true")
+                .option("inferSchema", "true")
+                .csv(batch_dirs)
+            )
+        else:
+            raw = spark.read.json(batch_dirs)
+        vschema = PT.StructType.fromJson(meta["schema"])
+        declared = {f.name: f.dataType for f in vschema.fields}
+        cols = []
+        for name, typ in _ENVELOPE_TYPES.items():
+            if name in raw.columns:
+                cols.append(F.col(name).cast(typ).alias(name))
+        for f in latest_fields:
+            if f.name in _ENVELOPE_TYPES:
+                continue
+            if f.name in raw.columns and f.name in declared:
+                cols.append(F.col(f.name).cast(declared[f.name]).alias(f.name))
+            else:  # column added by a later DDL: NULL backfill
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        parts.append(raw.select(*cols))
+    if not parts:
+        return {"applied": 0, "files_versions": 0}
+    frame = parts[0]
+    for p in parts[1:]:
+        frame = frame.unionByName(p, allowMissingColumns=True)
+    if "source_partition" not in frame.columns:
+        frame = frame.withColumn("source_partition", F.lit(0).cast("int"))
+    stats = table.merge(frame, batch_id=table.last_committed_batch() + 1)
+    return {
+        "applied": int(stats.applied_events),
+        "files_versions": len(parts),
+    }
