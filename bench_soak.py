@@ -85,14 +85,14 @@ def main() -> None:
     half_pat = "{" + ",".join(os.path.basename(p) for p in half) + "}"
     t0 = time.time()
     f1 = feed(f"{events_dir}/{half_pat}")
-    f1.run_available_now(timeout_sec=3600)
+    f1.run_available_now(timeout_sec=7200)
     phase1_dt = time.time() - t0
     mid_batch = table.last_committed_batch()
 
     # phase 2: restart from the SAME checkpoint over the full log
     t0 = time.time()
     f2 = feed(events_dir + "/epoch_*")
-    f2.run_available_now(timeout_sec=3600)
+    f2.run_available_now(timeout_sec=7200)
     phase2_dt = time.time() - t0
 
     # phase 3: forced full re-delivery — fresh checkpoint, same table;
@@ -104,7 +104,7 @@ def main() -> None:
         checkpoint_dir=f"{WORKDIR}/ckpt_replay", table=table,
         registry=registry, max_files_per_trigger=max_files,
     )
-    f3.run_available_now(timeout_sec=3600)
+    f3.run_available_now(timeout_sec=7200)
     phase3_dt = time.time() - t0
     replay_all_fenced = all(s.skipped for _, s in f3.batch_log)
 

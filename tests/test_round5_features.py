@@ -612,3 +612,248 @@ def test_replay_storage_requires_schema_files(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="schema_"):
         replay_storage(spark, str(tmp_path), CowTable(spark, str(tmp_path / "t")))
+
+
+# ---------------------------------------------------------------- round-5
+# self-review fixes, each pinned
+
+def test_dlq_does_not_advance_shard_barrier(spark, tmp_path):
+    """A quarantined row must not advance the pessimistic shard-DDL
+    barrier: a corrupt event carrying unregistered schema_version 99 on
+    shard B would otherwise poison B's monotone frontier (max includes 99),
+    lifting the gate and admitting shard A's post-DDL rows without
+    lockstep — permanently, since shard frontiers only ever advance."""
+    import json as _json
+
+    from tiflow_spark.operators.filters import RouteRule
+    from tiflow_spark.sources.registry import PAYLOAD_V1, PAYLOAD_V2, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    schema = EV_SCHEMA + ", table_name STRING"
+    v2_json = PAYLOAD_V2.json()
+    events_dir = tmp_path / "events"
+    epochs = {
+        "e1": [("I", 10, 9, "a", 0, 1, '{"role":"u","text":"a0"}', None, 0, "chats_0"),
+               ("I", 10, 9, "b", 0, 1, '{"role":"u","text":"b0"}', None, 1, "chats_1")],
+        # shard 0 executes the DDL and ships a post-DDL row
+        "e2": [("DDL", 1999, 1998, None, None, 2, v2_json, None, 0, "chats_0"),
+               ("U", 2000, 1999, "a", 0, 2,
+                '{"role":"u","text":"a-new","tool":"T1","ts":null}', None, 0, "chats_0")],
+        # shard 1: one corrupt row with a bogus version far above the DDL's
+        "e3": [("I", 1500, 1499, "x", 0, 99, '{"role":"u","text":"zz"}', None, 1, "chats_1")],
+    }
+    for name, rows in epochs.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(events_dir / name))
+
+    table = CowTable(spark, str(tmp_path / "chats"), n_buckets=4,
+                     data_schema={"role": "string", "text": "string"})
+    feed = Changefeed(
+        spark=spark, events_dir=str(events_dir / "e*"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tables={"chats": (table, [SchemaVersion(1, 0, PAYLOAD_V1)])},
+        route_rules=(RouteRule(table_regex="^chats_.*", target="chats"),),
+        ddl_in_stream=True, max_files_per_trigger=1, dead_letter=True,
+    )
+    feed.run_available_now()
+
+    m = table.current_manifest()
+    # the corrupt row is quarantined, not merged — and chats_1's frontier
+    # stayed at v1 (NOT 99)
+    assert m["shard_vers"] == {"chats_0": 2, "chats_1": 1}, m["shard_vers"]
+    state = {r["conv_id"]: r["text"] for r in table.snapshot().collect()}
+    # gate = min(2, 1) = 1: shard A's post-DDL update is still withheld
+    assert state == {"a": "a0", "b": "b0"}, state
+    assert table.read_pending().count() == 1
+    assert [r["reason"] for r in feed.dlq_list("chats").collect()] == [
+        "unregistered_schema_version"
+    ]
+
+
+def test_connected_components_60bit_ids_no_overflow(spark):
+    """Convergence detection sums labels; node ids here follow the repo's
+    md5-60-bit convention, so an int64 sum overflows after a handful of
+    nodes (ANSI mode: ArithmeticException; legacy: silent wraparound that
+    can false-converge). The decimal(38,0) sum is exact."""
+    from tiflow_spark.functions.dedup import connected_components
+
+    base = 1 << 60
+    # one chain of 12 huge ids + one isolated pair
+    chain = [(base + i, base + i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(
+        chain + [(base + 100, base + 101)], "id_a LONG, id_b LONG"
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert all(comp[base + i] == base for i in range(13))
+    assert comp[base + 100] == comp[base + 101] == base + 100
+
+
+def test_replay_storage_offset_fence(spark, tmp_path):
+    """The storage consumer tracks the highest CDC batch consumed in the
+    table manifest: a re-run with no new files reads NOTHING (applied=0,
+    files_versions=0) — in particular it does NOT re-insert tombstones
+    reclaimed by gc_tombstones — and only batch dirs above the watermark
+    are read when new files appear."""
+    from tiflow_spark.sinks.storage import replay_storage, write_change_files
+    from tiflow_spark.sources.registry import default_registry
+
+    registry = default_registry(ddl_ts=15)
+    v2 = registry[1]
+    rows1 = _direct_rows(
+        [("I", 20, 19, 0, "c1", 0, "u", "one", None),
+         ("I", 21, 20, 0, "c2", 0, "u", "two", None),
+         ("D", 30, 29, 0, "c2", 0, None, None, None)], spark
+    ).withColumn("schema_version", F.lit(2))
+    root = str(tmp_path / "storage")
+    write_change_files(rows1, root, v2, batch_id=1)
+
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=4)
+    res1 = replay_storage(spark, root, table)
+    assert res1["files_versions"] == 1 and res1["applied"] > 0
+    assert int(table.current_manifest()["storage_batch"]) == 1
+
+    # tombstone-GC, then the advertised idempotent re-run: nothing re-read,
+    # the reclaimed tombstone stays gone
+    assert table.gc_tombstones(below_resolved_ts=100) == 1
+    res2 = replay_storage(spark, root, table)
+    assert res2 == {"applied": 0, "files_versions": 0}
+    snap = table.snapshot(include_tombstones=True)
+    assert snap.filter(F.col("__deleted")).count() == 0
+
+    # new files above the watermark apply; watermark advances
+    rows2 = _direct_rows(
+        [("U", 40, 39, 0, "c1", 0, "u", "one-v2", "grep")], spark
+    ).withColumn("schema_version", F.lit(2))
+    write_change_files(rows2, root, v2, batch_id=2)
+    res3 = replay_storage(spark, root, table)
+    assert res3["files_versions"] == 1
+    got = {r["conv_id"]: r["text"] for r in table.snapshot().collect()}
+    assert got == {"c1": "one-v2"}
+    assert int(table.current_manifest()["storage_batch"]) == 2
+
+
+def test_controller_surfaces_dead_cascade_error(spark, tmp_path):
+    """A continuous cascade feed whose poll loop dies must not masquerade
+    as healthy: list() reports state=error with the message, and pause()
+    re-raises the stored failure instead of recording a clean stop."""
+    import shutil as _shutil
+    import time as _time
+
+    from tiflow_spark.streaming.controller import ChangefeedController
+
+    up = CowTable(spark, str(tmp_path / "up"), n_buckets=4)
+    up.merge(_direct_rows(
+        [("I", 10, 9, 0, "c1", 0, "u", "one", None)], spark), batch_id=0)
+    ctl = ChangefeedController(spark, str(tmp_path / "state"))
+    ctl.create(
+        "casc", events_dir=None, table_root=str(tmp_path / "down"),
+        kind="cascade", upstream_root=str(tmp_path / "up"),
+        table_options={"data_schema": dict(up.data_schema)},
+        feed_options={"poll_interval_sec": 0.1},
+    )
+    q = ctl.run("casc", continuous=True)
+    # break the upstream: the next poll's sync raises and the thread dies
+    _shutil.rmtree(str(tmp_path / "up" / "_manifest"))
+    deadline = _time.time() + 15
+    while q.isActive and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert not q.isActive and q.exception is not None
+
+    listed = {s["id"]: s for s in ctl.list()}
+    assert listed["casc"]["state"] == "error"
+    assert listed["casc"]["error"]
+
+    with pytest.raises(RuntimeError, match="FAILED"):
+        ctl.pause("casc")
+    # the failure is persisted on the spec too
+    listed = {s["id"]: s for s in ctl.list()}
+    assert listed["casc"]["state"] == "error"
+    ctl.remove("casc")  # removing a failed feed still works
+
+
+def test_validation_failure_preserves_evidence(spark, tmp_path):
+    """A FAILED validation keeps its expected-rows captures: they move to
+    _validation_evidence/ (manifest-recorded path) instead of being
+    deleted, so the operator can diff expected vs actual row-by-row — the
+    incremental validator exists because the source log can't be rescanned
+    (reference keeps failed rows for retry, dm/syncer/data_validator.go)."""
+    import os as _os
+
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    events_dir = tmp_path / "events"
+    epochs = {
+        "e1": [_ev("I", 10, "k1", text="truth-1")],
+        "e2": [_ev("I", 20, "k2", text="truth-2")],
+    }
+    for name, rows in epochs.items():
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(events_dir / name))
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=2)
+    feed = Changefeed(
+        spark=spark, events_dir=str(events_dir / "e*"),
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+        registry=[SchemaVersion(1, 0, PAYLOAD_V1)],
+        max_files_per_trigger=1, validate_every=0,
+    )
+    feed.validate_every = 2
+    feed.run_available_now()
+    # captures exist but validation hasn't fired... or it has (2 epochs):
+    # force the failing path by corrupting the table, then validating again
+    # over freshly captured epochs
+    e3 = [_ev("U", 30, "k1", text="truth-3")]
+    spark.createDataFrame(e3, EV_SCHEMA).coalesce(1).write.parquet(
+        str(events_dir / "e3"))
+    f2 = Changefeed(
+        spark=spark, events_dir=str(events_dir / "e*"),
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+        registry=[SchemaVersion(1, 0, PAYLOAD_V1)],
+        max_files_per_trigger=1, validate_every=99,
+    )
+    f2.run_available_now()
+    # corrupt k1's bucket base file AFTER the capture, BEFORE validate_now
+    m = table.current_manifest()
+    assert m.get("validator_nets"), "epoch capture expected"
+    bdf = spark.createDataFrame([("k1", 0)], "conv_id STRING, turn_idx INT")
+    b = bdf.select(
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)).cast("int").alias("b")
+    ).first()["b"]
+    rel = m["buckets"][str(b)]
+    path = str(tmp_path / "t" / rel)
+    df = spark.read.parquet(path)
+    pdf = df.toPandas()
+    pdf.loc[pdf.conv_id == "k1", "text"] = "CORRUPT"
+    spark.createDataFrame(pdf, df.schema).coalesce(1).write.mode(
+        "overwrite").parquet(path)
+
+    rec = f2.validate_now()
+    assert not rec["ok"]
+    assert rec["evidence"], rec
+    evid = str(tmp_path / "t" / rec["evidence"])
+    assert _os.path.isdir(evid)
+    expected = spark.read.parquet(f"{evid}/net_*")
+    rows = {r["conv_id"]: r["text"] for r in expected.collect()}
+    assert rows.get("k1") == "truth-3"  # the expected row survives for diffing
+    # the finding + evidence path are manifest-committed (restart-visible)
+    assert table.current_manifest()["validation"]["evidence"] == rec["evidence"]
+
+
+def test_columns_dispatch_null_skips_name_and_value(spark):
+    """dispatch='columns' parity with columns.go: a NULL value removes the
+    ENTIRE (name, value) pair from the hash — a row with author=NULL under
+    columns=('region','author') lands exactly where ('region',) alone
+    puts it."""
+    from tiflow_spark.sinks.mq import dispatch_partition
+
+    frame = spark.createDataFrame(
+        [("r1", None, "k", 0)],
+        "region STRING, author STRING, conv_id STRING, turn_idx INT",
+    )
+    both = frame.select(
+        dispatch_partition("columns", 1024, columns=("region", "author")).alias("p")
+    ).first()["p"]
+    only_region = frame.select(
+        dispatch_partition("columns", 1024, columns=("region",)).alias("p")
+    ).first()["p"]
+    assert both == only_region

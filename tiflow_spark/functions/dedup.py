@@ -262,7 +262,9 @@ def connected_components(
     band-collision cliques, so the diameter is tiny and the label of every
     component is its minimum node id. Convergence is detected by the sum of
     labels (strictly decreasing until fixpoint — one tiny aggregate per
-    round, no extra join). Lineage is truncated per round
+    round, no extra join), summed as decimal(38,0): node ids here are
+    md5-derived 60-bit ints (functions/xhash.py), so an int64 sum would
+    overflow after ~8 labels and crash under ANSI mode. Lineage is truncated per round
     (localCheckpoint; on a real cluster set a checkpoint dir and swap in
     .checkpoint() for executor-loss resilience).
 
@@ -283,13 +285,16 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    def _label_sum(df):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     if prev_sum is None:
         edges.unpersist()
         return labels
     for _ in range(max_iter):
         labels = _propagate(edges, labels).localCheckpoint()
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             edges.unpersist()
             return labels

@@ -459,6 +459,10 @@ class CowTable:
         # batch dir consumed — same carry-forward rationale
         if "mq_batch" not in extra and manifest.get("mq_batch") is not None:
             extra["mq_batch"] = manifest["mq_batch"]
+        # storage consumer offset (sinks/storage.replay_storage): highest
+        # CDC batch dir consumed — same carry-forward rationale
+        if "storage_batch" not in extra and manifest.get("storage_batch") is not None:
+            extra["storage_batch"] = manifest["storage_batch"]
         # tombstone-GC safepoint carries forward MONOTONE (max): dropping it
         # would let ChangefeedController.resume accept an
         # overwrite_checkpoint_ts below the GC horizon on any merge after

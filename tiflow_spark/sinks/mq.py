@@ -30,6 +30,14 @@ _TOPIC_EXPR_RE = re.compile(
 )
 _KAFKA_FORBID = "[^a-zA-Z0-9._-]"
 
+# engine-internal columns that never ride a message's data block (the
+# envelope builder and the column-selector path must agree on this set —
+# a drift would leak an internal column into selector-projected messages)
+_ENVELOPE_SKIP = frozenset({
+    "op", "op_order", "commit_ts", "start_ts", "schema_version",
+    "source_partition", "payload", "pre_payload", "table_name", "__shard",
+})
+
 
 def canal_json_envelope(
     decoded: DataFrame,
@@ -43,9 +51,7 @@ def canal_json_envelope(
     a replay that fabricated start_ts could resolve same-commit-ts events
     to a different winner than the source table, the exact hazard the
     open-protocol codec documents)."""
-    skip = {"op", "op_order", "commit_ts", "start_ts", "schema_version",
-            "source_partition", "payload", "pre_payload", "table_name",
-            "__shard", *key_cols}
+    skip = {*_ENVELOPE_SKIP, *key_cols}
     if data_cols is None:
         data_cols = [
             c for c in decoded.columns if c not in skip and not c.startswith("pre_")
@@ -85,9 +91,10 @@ def dispatch_partition(
     - "columns": hash of an arbitrary NAMED column list's (name, value)
       pairs plus the table identity (columns.go:45-87's PositionInertia
       over colName+colValue) — rows agreeing on those columns land on one
-      partition regardless of the handle key. NULL values contribute
-      nothing to the hash (Spark's xxhash64 skips NULL inputs), matching
-      the reference's ``if col == nil { continue }``.
+      partition regardless of the handle key. A NULL value contributes
+      nothing to the hash — neither the value NOR the column-name literal
+      (the reference's ``if col == nil { continue }`` skips the whole
+      pair).
     """
     if mode == "table":
         if table_col is not None:
@@ -104,7 +111,14 @@ def dispatch_partition(
             raise ValueError("dispatch='columns' requires a non-empty columns list")
         parts: list = [F.col(table_col)] if table_col is not None else []
         for c in columns:
-            parts += [F.lit(c), F.col(c).cast("string")]
+            # NULL value skips BOTH name and value (xxhash64 ignores NULL
+            # inputs; the name literal is gated on the value so it drops
+            # out too — the reference's `if col == nil { continue }` skips
+            # the whole pair, not just the value)
+            parts += [
+                F.when(F.col(c).isNotNull(), F.lit(c)),
+                F.col(c).cast("string"),
+            ]
         return F.pmod(F.xxhash64(*parts), F.lit(n_partitions)).cast("int")
     raise ValueError(f"unknown dispatch mode {mode}")
 
@@ -235,9 +249,7 @@ def encode_for_mq(
     if column_selector is None:
         value = canal_json_envelope(decoded, key_cols)
     else:
-        skip = {"op", "op_order", "commit_ts", "start_ts", "schema_version",
-                "source_partition", "payload", "pre_payload", "table_name",
-                "__shard", *key_cols}
+        skip = {*_ENVELOPE_SKIP, *key_cols}
         all_data = [
             c for c in decoded.columns
             if c not in skip and not c.startswith("pre_")

@@ -91,8 +91,14 @@ def replay_storage(spark: SparkSession, root: str, table, fmt: str = "json") -> 
     the schema file is the consumer's source of truth, exactly the
     reference's design, storage-sink design doc §schema file), NULL-
     backfill columns the version predates, and merge into ``table``
-    exactly-once-in-effect (fenced by the table's own batch id, idempotent
-    on re-run).
+    exactly-once-in-effect: the highest CDC batch number consumed is
+    tracked in the table manifest (``storage_batch``, the replay_mq
+    ``track_offset`` analog), so a re-run reads ONLY batch dirs above the
+    watermark — a no-input no-op, not an O(archive) re-merge (which, being
+    LWW-idempotent, would still converge, but would re-insert tombstones
+    reclaimed by ``gc_tombstones`` and pay a full rewrite per run).
+    Batch ids must be monotone across versions (the sink contract —
+    ``write_change_files`` is fed by monotone epoch batch ids).
 
     Returns {"applied", "files_versions"}.
     """
@@ -113,12 +119,21 @@ def replay_storage(spark: SparkSession, root: str, table, fmt: str = "json") -> 
     latest = max(versions, key=lambda v: v["schema_version"])
     latest_fields = PT.StructType.fromJson(latest["schema"]).fields
 
+    consumed = table.current_manifest().get("storage_batch")
+    watermark = -1 if consumed is None else int(consumed)
+    max_batch = watermark
     parts = []
     for meta in sorted(versions, key=lambda v: v["schema_version"]):
         vdir = f"{root}/v{meta['schema_version']}"
-        batch_dirs = sorted(
-            f"{vdir}/{d}" for d in os.listdir(vdir) if d.startswith("CDC")
-        )
+        batch_dirs = []
+        for d in sorted(os.listdir(vdir)):
+            if not d.startswith("CDC"):
+                continue
+            num = int(d[3:])
+            if num <= watermark:
+                continue  # already consumed (storage_batch fence)
+            max_batch = max(max_batch, num)
+            batch_dirs.append(f"{vdir}/{d}")
         if not batch_dirs:
             continue
         if fmt == "csv":
@@ -150,7 +165,11 @@ def replay_storage(spark: SparkSession, root: str, table, fmt: str = "json") -> 
         frame = frame.unionByName(p, allowMissingColumns=True)
     if "source_partition" not in frame.columns:
         frame = frame.withColumn("source_partition", F.lit(0).cast("int"))
-    stats = table.merge(frame, batch_id=table.last_committed_batch() + 1)
+    stats = table.merge(
+        frame,
+        batch_id=table.last_committed_batch() + 1,
+        manifest_extra={"storage_batch": max_batch},
+    )
     return {
         "applied": int(stats.applied_events),
         "files_versions": len(parts),

@@ -232,14 +232,35 @@ class ChangefeedController:
         feed.run_available_now(timeout_sec=timeout_sec)
         return feed
 
+    @staticmethod
+    def _query_error(q) -> BaseException | None:
+        """Stored failure of a no-longer-active handle: _CascadeHandle
+        keeps it in ``.exception`` (attribute), StreamingQuery returns it
+        from ``.exception()`` (method)."""
+        if q is None or q.isActive:
+            return None
+        exc = getattr(q, "exception", None)
+        return exc() if callable(exc) else exc
+
     def pause(self, cf_id: str) -> None:
         """v2 POST /changefeeds/{id}/pause: stop consuming; the source
         offset checkpoint and the table both stay — resume continues from
-        exactly where the feed stopped."""
+        exactly where the feed stopped. Pausing a feed whose background
+        loop already DIED re-raises its stored failure (a silently-halted
+        feed must not masquerade as cleanly stopped — the reference moves
+        a failed changefeed to state=error, changefeed.go)."""
         spec = self._load(cf_id)
         q = self._queries.pop(cf_id, None)
         if q is not None and q.isActive:
             q.stop()
+        err = self._query_error(q)
+        if err is not None:
+            spec["state"] = "error"
+            spec["error"] = str(err)
+            self._save(spec)
+            raise RuntimeError(
+                f"changefeed {cf_id!r} had already FAILED; state=error"
+            ) from err
         spec["state"] = "stopped"
         self._save(spec)
 
@@ -306,12 +327,20 @@ class ChangefeedController:
 
     def list(self) -> list[dict[str, Any]]:
         """v2 GET /changefeeds: every spec plus live progress read from the
-        table manifest (checkpoint = last batch id, resolved watermark)."""
+        table manifest (checkpoint = last batch id, resolved watermark).
+        A feed whose background loop died with an exception is reported
+        with state=error and the message — not its last persisted state
+        (the reference's failed-changefeed state surfaces the same way in
+        `cli changefeed list`)."""
         out = []
         for fn in sorted(os.listdir(self.state_dir)):
             if not fn.endswith(".json"):
                 continue
             spec = self._load(fn[:-5])
+            err = self._query_error(self._queries.get(fn[:-5]))
+            if err is not None:
+                spec["state"] = "error"
+                spec["error"] = str(err)
             m = {}
             manifest_dir = (
                 os.path.join(spec["table_root"], "_manifest")

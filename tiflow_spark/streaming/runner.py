@@ -379,8 +379,27 @@ class Changefeed:
                         # one tiny agg over the persisted batch: per (target,
                         # shard) max delivered version (DDL rows included —
                         # a shard "executes" the DDL when its event arrives)
+                        vers_src = batch
+                        if self.dead_letter:
+                            # quarantine-bound rows must NOT advance the
+                            # barrier: an unregistered (corrupt) version on
+                            # one shard would permanently poison its
+                            # monotone frontier and admit the other shards'
+                            # post-DDL rows without lockstep. Versions a
+                            # DML can legitimately carry are the registered
+                            # ones; a version new THIS batch reaches the
+                            # maxima through its op='DDL' row instead.
+                            known_all = sorted({
+                                v.schema_version
+                                for _t, _reg in self.tables.values()
+                                for v in _reg
+                            })
+                            vers_src = batch.filter(
+                                (F.col("op") == "DDL")
+                                | F.col("schema_version").isin(known_all)
+                            )
                         shard_maxima = (
-                            batch.groupBy(self.table_col, "__shard")
+                            vers_src.groupBy(self.table_col, "__shard")
                             .agg(F.max("schema_version").alias("v"))
                             .collect()
                         )
@@ -646,6 +665,27 @@ class Changefeed:
             "ok": result.identical
             and (frozen is None or frozen.identical),
         }
+        # a FAILED validation preserves its expected-rows evidence: the
+        # consumed captures move (not copy — same filesystem rename) into
+        # _validation_evidence/ so the operator can diff expected vs actual
+        # row-by-row (the incremental mode exists precisely because the
+        # source log can't be rescanned; deleting the captures here would
+        # leave only aggregate counts). The reference validator keeps
+        # failed rows for retry/inspection (dm/syncer/data_validator.go).
+        # The dir sits outside vacuum's roots — retained until the
+        # operator repairs (operators/validate.repair) and deletes it.
+        evidence_rel = None
+        if not record["ok"]:
+            import os as _os
+
+            evidence_rel = f"_validation_evidence/s{cur + 1}"
+            _os.makedirs(f"{table.root}/{evidence_rel}", exist_ok=True)
+            for i, rel in enumerate(nets):
+                _os.rename(
+                    f"{table.root}/{rel}",
+                    f"{table.root}/{evidence_rel}/net_{i:04d}",
+                )
+            record["evidence"] = evidence_rel
         table._commit_manifest(
             {
                 **m,
