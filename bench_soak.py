@@ -112,7 +112,12 @@ def main() -> None:
     # source log (chunked checksums; sync_diff_inspector analog)
     t0 = time.time()
     events = spark.read.parquet(*epochs)
-    diff = verify_changefeed(table, events, registry, n_chunks=64)
+    # past ~2e8 events the one-pass full-log LWW shuffle outgrows a single
+    # node's spill disk — split the verify into key-hash passes (see
+    # verify_changefeed(key_split=...)); a real cluster has aggregate
+    # shuffle disk and runs one pass
+    ksplit = 8 if n_events > 200_000_000 else 1
+    diff = verify_changefeed(table, events, registry, n_chunks=64, key_split=ksplit)
     verify_dt = time.time() - t0
 
     stream_dt = phase1_dt + phase2_dt

@@ -1,5 +1,6 @@
 """Filters, update-split, validation job, and the DDL-barrier schema flow."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.test_e2e_replay import SPEC, assert_matches_oracle, oracle_state
@@ -170,3 +171,47 @@ def test_verify_changefeed_distributed_sync_diff(spark, tmp_table_dir):
     table._commit_manifest(m)
     res2 = verify_changefeed(table, events.drop("pre_payload"), registry)
     assert not res2.identical and res2.row_diffs > 0
+
+
+def test_verify_changefeed_key_split_equals_one_pass(spark, tmp_table_dir):
+    """key_split=K (the bounded-spill mode the 1e9 soak uses) returns the
+    SAME verdict as the one-pass diff — identical on a clean replay, and
+    the same mismatched chunk set + row-diff count after corruption."""
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.operators.validate import verify_changefeed
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.datagen import GenSpec, generate_change_events
+    from tiflow_spark.sources.registry import default_registry
+
+    spec = GenSpec(n_convs=80, seed=22)
+    events = generate_change_events(spark, spec).drop("pre_payload")
+    table = CowTable(spark, tmp_table_dir, n_buckets=8)
+    registry = default_registry(spec.ddl_ts)
+    apply_epoch(table, registry, events, batch_id=0)
+
+    assert verify_changefeed(table, events, registry, key_split=4).identical
+
+    # corrupt one row out-of-band, then compare both modes' findings
+    snap = table.snapshot(include_tombstones=True)
+    corrupted = snap.withColumn(
+        "text",
+        F.when(F.col("conv_id") == "c1", F.lit("X")).otherwise(F.col("text")),
+    )
+    bad_dir = f"{tmp_table_dir}/data/corrupt"
+    corrupted.withColumn("bucket", table._bucket_col()).write.mode(
+        "overwrite").partitionBy("bucket").parquet(bad_dir)
+    m = table.current_manifest()
+    m["seq"] += 1
+    m["buckets"] = {b: f"data/corrupt/bucket={b}" for b in m["buckets"]}
+    table._commit_manifest(m)
+
+    one = verify_changefeed(table, events, registry)
+    split = verify_changefeed(table, events, registry, key_split=4)
+    assert not split.identical
+    assert split.mismatched_chunks == one.mismatched_chunks
+    assert split.row_diffs == one.row_diffs
+
+    with pytest.raises(ValueError, match="divide"):
+        verify_changefeed(table, events, registry, n_chunks=10, key_split=4)

@@ -40,26 +40,60 @@ def _chunked_checksum(df: DataFrame, key_cols: list[str], cols: list[str], n_chu
     )
 
 
-def verify_changefeed(table, events: DataFrame, registry, n_chunks: int = 64) -> DiffResult:
+def verify_changefeed(
+    table, events: DataFrame, registry, n_chunks: int = 64, key_split: int = 1,
+) -> DiffResult:
     """check_sync_diff analog (/root/reference/tests/integration_tests/
     _utils/check_sync_diff:21-33): derive the expected final state from the
     FULL source log (distributed LWW + decode — no driver-side oracle) and
     chunk-diff it against the table snapshot. The post-migration/post-replay
-    verification a reference user runs; both sides are one scan each."""
+    verification a reference user runs; both sides are one scan each.
+
+    ``key_split=K`` runs the diff in K key-hash passes, each LWW-reducing
+    only keys with ``hash % K == i`` — the full-log LWW's shuffle barely
+    shrinks under partial aggregation when a key's events are spread
+    across epochs (every map partition sees mostly-distinct keys), so at
+    10^9+ events the one-pass shuffle is O(log size) and can exceed a
+    single node's spill disk; K passes bound in-flight shuffle to 1/K at
+    the cost of K source scans (the sync_diff chunking idea applied to
+    the shuffle, not just the checksum). Requires NULL-free key columns
+    (DML-only log) and ``key_split | n_chunks`` so every pass covers
+    whole chunks; results merge exactly (chunk sets are disjoint)."""
     from pyspark.sql import functions as F
 
     from tiflow_spark.functions.decode import decode_payload
     from tiflow_spark.operators.lww import lww_latest, with_op_order
 
-    expected = (
-        decode_payload(lww_latest(with_op_order(events), table.key_cols), registry)
-        .filter(F.col("op") != "D")
-        .select(*table.key_cols, *[c for c in table.data_cols])
-    )
-    actual = table.snapshot().select(*table.key_cols, *table.data_cols)
-    return diff_tables(
-        expected, actual, key_cols=list(table.key_cols),
-        compare_cols=list(table.data_cols), n_chunks=n_chunks,
+    def _diff(ev: DataFrame, actual: DataFrame) -> DiffResult:
+        expected = (
+            decode_payload(lww_latest(with_op_order(ev), table.key_cols), registry)
+            .filter(F.col("op") != "D")
+            .select(*table.key_cols, *[c for c in table.data_cols])
+        )
+        return diff_tables(
+            expected, actual.select(*table.key_cols, *table.data_cols),
+            key_cols=list(table.key_cols),
+            compare_cols=list(table.data_cols), n_chunks=n_chunks,
+        )
+
+    if key_split <= 1:
+        return _diff(events, table.snapshot())
+    if n_chunks % key_split:
+        raise ValueError(
+            f"key_split {key_split} must divide n_chunks {n_chunks} "
+            "(each pass must cover whole checksum chunks)"
+        )
+    mismatched: list[int] = []
+    row_diffs = 0
+    snap = table.snapshot()
+    for i in range(key_split):
+        sel = F.pmod(F.xxhash64(*table.key_cols), F.lit(key_split)) == i
+        res = _diff(events.filter(sel), snap.filter(sel))
+        mismatched.extend(res.mismatched_chunks)
+        row_diffs += res.row_diffs
+    return DiffResult(
+        n_chunks=n_chunks, mismatched_chunks=sorted(mismatched),
+        row_diffs=row_diffs,
     )
 
 
