@@ -315,15 +315,21 @@ def avro_binary_encode(
     decoded: DataFrame,
     version: SchemaVersion,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    wire_id: int | None = None,
 ) -> DataFrame:
     """Confluent-framed Avro binary messages: (key string, value binary).
-    Null fields encode as union branch 0; present fields branch 1 + value."""
+    Null fields encode as union branch 0; present fields branch 1 + value.
+
+    ``wire_id`` is the registry-assigned global schema id to stamp into the
+    framing (from ``schema_registry.register_avro_registry``); default is
+    the local schema_version (registry-less deployments)."""
     import pandas as pd
 
     from pyspark.sql import types as PT
 
     codecs = _avro_field_codecs(version)
-    frame_prefix = b"\x00" + int(version.schema_version).to_bytes(4, "big")
+    sid = int(version.schema_version if wire_id is None else wire_id)
+    frame_prefix = b"\x00" + sid.to_bytes(4, "big")
     src = decoded.select(
         F.to_json(F.struct(*[F.col(k) for k in key_cols])).alias("key"),
         *[F.col(name) for name, _, _ in codecs],
@@ -354,25 +360,37 @@ def avro_binary_encode(
                 {
                     "key": pdf["key"],
                     "value": values,
-                    "schema_id": int(version.schema_version),
+                    "schema_id": sid,
                 }
             )
 
     return src.mapInPandas(encode, schema=out_schema)
 
 
-def avro_binary_decode(frame: DataFrame, registry: list[SchemaVersion]) -> DataFrame:
+def avro_binary_decode(
+    frame: DataFrame,
+    registry: list[SchemaVersion],
+    id_map: dict[int, int] | None = None,
+) -> DataFrame:
     """Inverse of ``avro_binary_encode``. The per-message schema id selects
     the registry version (the schema-registry lookup), so a stream spanning
     a DDL decodes each message against its own schema; output columns are
-    the LATEST version's fields with NULL backfill (mounter rule)."""
+    the LATEST version's fields with NULL backfill (mounter rule).
+
+    ``id_map`` translates registry-assigned wire ids back to local schema
+    versions ({confluent_id: schema_version}, the reverse map from
+    ``schema_registry.registry_from_remote``); default identity."""
     import pandas as pd
 
     from pyspark.sql import types as PT
 
     from tiflow_spark.sources.registry import latest_schema
 
-    by_id = {int(v.schema_version): _avro_field_codecs(v) for v in registry}
+    by_version = {int(v.schema_version): _avro_field_codecs(v) for v in registry}
+    if id_map is None:
+        by_id = by_version
+    else:
+        by_id = {int(cid): by_version[int(ver)] for cid, ver in id_map.items()}
     target = latest_schema(registry)
     out_schema = PT.StructType(
         [PT.StructField("key", PT.StringType())] + list(target.fields)
