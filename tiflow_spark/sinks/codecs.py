@@ -17,9 +17,10 @@ encoders collapse into to_json/from_json projections the JVM vectorizes):
   (magic 0x00 + 4-byte schema id), implemented directly from the public
   Avro spec as an Arrow-batched codec; the schema id is the registry
   schema_version and decode resolves each message against its own version.
-  Remaining boundary: only the remote registry HTTP handshake itself
-  (confluent_schema_registry.go) is out of scope — the registry table IS
-  the registry here.
+  The remote registry HTTP handshake itself lives in
+  sinks/schema_registry.py (confluent_schema_registry.go analog): wire ids
+  come from the registry via encode's ``wire_id`` / decode's ``id_map``;
+  without a remote registry the schema_version doubles as the wire id.
 - claim-check    (/root/reference/pkg/sink/codec/common/, kafka_simple_
   claim_check tests): messages larger than the broker limit are stored
   aside; the message carries {claimCheckLocation}. Expressed set-wise: the
