@@ -137,6 +137,21 @@ def test_connected_components_transitive_chain(spark):
                     20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 300-node path graph (revision-chain shape: each doc near its
+    neighbors only) must close into one component within max_iter=12
+    rounds — pins the pointer-doubling shortcut: plain min-label
+    propagation needs ~300 rounds here and would raise."""
+    from tiflow_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a LONG, id_b LONG"
+    )
+    comp = connected_components(pairs, max_iter=12)
+    assert comp.select("comp").distinct().collect()[0]["comp"] == 0
+    assert comp.count() == 301
+
+
 def test_connected_components_empty_and_representatives(spark):
     from tiflow_spark.functions.dedup import (
         component_representatives, connected_components,

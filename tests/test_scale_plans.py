@@ -206,3 +206,7 @@ def test_component_propagation_is_distributed_hash_work(spark):
     assert "Exchange SinglePartition" not in plan, plan
     # the neighbor-min must partial-aggregate below its exchange
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
+    # the pointer-doubling shortcut is a label-table self-join — same rules
+    splan = plan_of(dd._shortcut(labels))
+    assert "CartesianProduct" not in splan and "BroadcastNestedLoop" not in splan
+    assert "Exchange SinglePartition" not in splan, splan

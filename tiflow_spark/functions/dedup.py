@@ -243,6 +243,25 @@ def _propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _shortcut(labels: DataFrame) -> DataFrame:
+    """Pointer-doubling round: label(v) ← label(label(v)). A label is always
+    the id of a node in the same component (it starts as the node's own id
+    and only ever takes other nodes' labels), so following it one hop stays
+    in-component and can only lower the label. Each round halves the depth
+    of every label-pointer chain, so propagate+shortcut reaches the
+    component minimum in O(log diameter) rounds where propagate alone needs
+    O(diameter) — the difference between 8 and 10^6 rounds on a chain of
+    near-dup docs (versioned/templated pages DO form long chains: each
+    revision is near its neighbors but not its distant ancestors). One
+    self-join on the label table, no edge scan."""
+    ptr = labels.select(
+        F.col("id").alias("comp"), F.col("comp").alias("_hop")
+    )
+    return labels.join(ptr, "comp", "left").select(
+        "id", F.least("comp", F.coalesce("_hop", "comp")).alias("comp")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "id_a",
@@ -255,12 +274,15 @@ def connected_components(
     verified pairs; an actual corpus dedup must close them into components
     and keep ONE representative per component before it can drop anything.
 
-    Algorithm: label(v) ← min(label(v), min over neighbors' labels),
-    iterated to fixpoint — each round is one shuffle join + one
+    Algorithm: alternate label(v) ← min(label(v), min over neighbors'
+    labels) with a pointer-doubling shortcut label(v) ← label(label(v))
+    (see ``_shortcut``) to fixpoint — each round is one shuffle join + one
     partial-aggregating groupBy over the EDGE list (never an all-pairs
-    product), converging in O(graph diameter) rounds; near-dup clusters are
-    band-collision cliques, so the diameter is tiny and the label of every
-    component is its minimum node id. Convergence is detected by the sum of
+    product) plus one label-table self-join, converging in O(log diameter)
+    rounds; the label of every component is its minimum node id.
+    Band-collision cliques close in 2-3 rounds either way; the shortcut is
+    for chain-shaped components (revision/template chains), where plain
+    propagation needs O(diameter) rounds. Convergence is detected by the sum of
     labels (strictly decreasing until fixpoint — one tiny aggregate per
     round, no extra join), summed as decimal(38,0): node ids here are
     md5-derived 60-bit ints (functions/xhash.py), so an int64 sum would
@@ -293,7 +315,7 @@ def connected_components(
         edges.unpersist()
         return labels
     for _ in range(max_iter):
-        labels = _propagate(edges, labels).localCheckpoint()
+        labels = _shortcut(_propagate(edges, labels)).localCheckpoint()
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             edges.unpersist()
@@ -302,7 +324,8 @@ def connected_components(
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "the pair graph's diameter exceeds the bound; raise max_iter"
+        "with pointer-doubling that bounds diameter by ~2^{max_iter}; "
+        "the pair graph is malformed"
     )
 
 

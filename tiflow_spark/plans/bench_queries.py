@@ -465,6 +465,94 @@ def q_cdc_streaming_e2e(spark, sf_dir):
     return table.snapshot().select(*_SNAPSHOT_COLS)
 
 
+def q_cdc_ddl_stream(spark, sf_dir):
+    """DDL puller + barrier + sink DDL execution under the driver oracle
+    (/root/reference/cdc/owner/ddl_puller.go:190-302, barrier.go:22-47,
+    ddl_manager.go:508-583): the feed starts knowing only schema v1; the
+    ADD COLUMN travels IN the log (op='DDL', payload = schema JSON) ahead
+    of the first v2 row; the runner registers it at the microbatch barrier
+    and evolves the sink's column set; the final snapshot must equal the
+    version-gated decode oracle (tool NULL below v2, populated at v2)."""
+    import json as _json
+
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.streaming.runner import Changefeed
+
+    # own v1/v2 split at 150k (not the shared 500k): sf0.01 commit_ts tops
+    # out near 370k, so the shared split would leave the DDL with zero live
+    # v2 rows to gate — this split puts real rows on both sides
+    ce = change_events_payload(spark, sf_dir).withColumn(
+        "schema_version",
+        F.when(F.col("commit_ts") < 150_000, F.lit(1)).otherwise(F.lit(2)),
+    )
+    root = _scratch_root(sf_dir + "#ddlstream", "tiflow_ddlq_")
+    events_dir = f"{root}/events"
+    registry = _pipeline_registry()
+    ddl_row = spark.createDataFrame(
+        [(
+            "DDL", 149_999, 149_998, "ddl", 0, 2, 0,
+            _json.dumps(registry[1].schema.jsonValue()), None,
+        )],
+        ce.schema,
+    )
+    for i in range(4):
+        lo, hi = i * 100_000, (i + 1) * 100_000 if i < 3 else 1_000_000
+        band = ce.filter((F.col("commit_ts") >= lo) & (F.col("commit_ts") < hi))
+        if i == 1:  # DDL lands in the band holding the first v2 row (150k)
+            band = band.unionByName(ddl_row)
+        band.coalesce(1).write.parquet(f"{events_dir}/epoch_{i}")
+    table = CowTable(
+        spark, f"{root}/table", n_buckets=16,
+        data_schema={"role": "string", "text": "string"},
+    )
+    feed = Changefeed(
+        spark=spark, events_dir=f"{events_dir}/epoch_*",
+        checkpoint_dir=f"{root}/ckpt", table=table,
+        registry=registry[:1], ddl_in_stream=True,
+        max_files_per_trigger=1, event_schema=ce.schema,
+    )
+    feed.run_available_now()
+    if [v.schema_version for v in feed.registry] != [1, 2]:
+        raise RuntimeError("in-stream DDL did not register schema v2")
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
+def q_cdc_lineage_metrics(spark, sf_dir):
+    """ProgressTracker / syncpoint metrics under the driver oracle
+    (/root/reference/cdc/processor/sinkmanager/table_sink_advancer.go +
+    the per-changefeed counters): the streaming runner drains 4 banded
+    epochs; the manifest-committed per-partition lineage must account for
+    every source event EXACTLY once across all microbatches and carry each
+    partition's frontier to its true maximum commit_ts."""
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.streaming.runner import Changefeed
+
+    ce = change_events_payload(spark, sf_dir)
+    root = _scratch_root(sf_dir + "#lineage", "tiflow_lineage_q_")
+    events_dir = f"{root}/events"
+    for i in range(4):
+        lo, hi = i * 250_000, (i + 1) * 250_000
+        (
+            ce.filter((F.col("commit_ts") >= lo) & (F.col("commit_ts") < hi))
+            .coalesce(1).write.parquet(f"{events_dir}/epoch_{i}")
+        )
+    table = CowTable(
+        spark, f"{root}/table", n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    feed = Changefeed(
+        spark=spark, events_dir=f"{events_dir}/epoch_*",
+        checkpoint_dir=f"{root}/ckpt", table=table,
+        registry=_pipeline_registry(), max_files_per_trigger=1,
+        event_schema=ce.schema,
+    )
+    feed.run_available_now()
+    return table.lineage().groupBy("source_partition").agg(
+        F.sum("applied_events").alias("applied_events"),
+        F.max("resolved_ts").alias("partition_resolved_ts"),
+    )
+
+
 def q_cdc_validated_stream(spark, sf_dir):
     """The INCREMENTAL continuous validator under the driver oracle
     (VERDICT r4 next #2, reference dm/syncer/data_validator.go): the
@@ -846,6 +934,50 @@ def q_cdc_bdr_filter(spark, sf_dir):
     )
 
 
+def q_cdc_table_filter(spark, sf_dir):
+    """Include/exclude glob table filtering (reference
+    /root/reference/pkg/filter/filter.go:230-238) over a derived
+    multi-table stream: include ``chats_*``/``audit*``, exclude
+    ``chats_1`` — per-table event counts of the survivors."""
+    from tiflow_spark.operators.filters import TableFilter
+
+    ce = change_events_ids(spark, sf_dir).withColumn(
+        "table_name",
+        F.expr(
+            "CASE WHEN user_id % 2 = 0 THEN 'chats_' || CAST(user_id % 3 AS STRING) "
+            "WHEN user_id % 5 = 0 THEN 'audit_log' ELSE 'metrics' END"
+        ),
+    )
+    flt = TableFilter(include=("chats_*", "audit*"), exclude=("chats_1",))
+    return flt.apply(ce).groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def q_cdc_virtual_columns(spark, sf_dir):
+    """Mounter virtual/generated-column fill
+    (/root/reference/cdc/model/mounter.go:33-66) on the decoded stream:
+    generated columns are computed at read time from the decoded row —
+    never carried in the payload — by native Catalyst expressions."""
+    from tiflow_spark.functions.decode import (
+        decode_payload, with_generated_columns,
+    )
+
+    ce = change_events_payload(spark, sf_dir).filter(F.col("op") != "D")
+    gen = with_generated_columns(
+        decode_payload(ce, _pipeline_registry()),
+        {
+            "turn_key": "concat(conv_id, ':', cast(turn_idx as string))",
+            "text_len": "length(text)",
+        },
+    )
+    return gen.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "turn_key",
+        F.col("text_len").cast("long").alias("text_len"),
+    )
+
+
 # ------------------------------------------------------------- text queries
 
 def q_text_stats(spark, sf_dir):
@@ -1076,6 +1208,8 @@ QUERIES = {
     "cdc_cascade_snapshot": q_cdc_cascade_snapshot,
     "cdc_strict_frontier": q_cdc_strict_frontier,
     "cdc_streaming_e2e": q_cdc_streaming_e2e,
+    "cdc_ddl_stream": q_cdc_ddl_stream,
+    "cdc_lineage_metrics": q_cdc_lineage_metrics,
     "cdc_validated_stream": q_cdc_validated_stream,
     "cdc_mq_multi_topic": q_cdc_mq_multi_topic,
     "cdc_dlq_quarantine": q_cdc_dlq_quarantine,
@@ -1091,6 +1225,8 @@ QUERIES = {
     "cdc_route_tables": q_cdc_route_tables,
     "cdc_online_ddl": q_cdc_online_ddl,
     "cdc_bdr_filter": q_cdc_bdr_filter,
+    "cdc_table_filter": q_cdc_table_filter,
+    "cdc_virtual_columns": q_cdc_virtual_columns,
     "text_stats": q_text_stats,
     "text_bpe": q_text_bpe,
     "text_quality": q_text_quality,
@@ -1490,9 +1626,39 @@ ORACLES = {
     # state as the one-shot COW pipeline — one oracle, four engine paths
     "cdc_mor_snapshot": _PIPELINE_SNAPSHOT_SQL,
     "cdc_streaming_e2e": _PIPELINE_SNAPSHOT_SQL,
+    # a feed that learns schema v2 from an IN-STREAM DDL converges to the
+    # same version-gated state as one configured with the full registry
+    # (this query's own v1/v2 split at 150k — see q_cdc_ddl_stream)
+    "cdc_ddl_stream": f"""
+      WITH ce0 AS ({CE_PAYLOAD_SQL}),
+      ce AS (SELECT * REPLACE (
+        CASE WHEN commit_ts < 150000 THEN 1 ELSE 2 END AS schema_version)
+        FROM ce0),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY commit_ts DESC, start_ts DESC, {OP_ORDER_SQL} DESC) AS rn
+        FROM ce)
+      SELECT conv_id, turn_idx,
+             json_extract_string(payload, '$.role') AS role,
+             json_extract_string(payload, '$.text') AS text,
+             CASE WHEN schema_version >= 2
+                  THEN json_extract_string(payload, '$.tool') END AS tool
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
     # the incrementally-validated stream converges to the same state (and
     # the query itself raises if any validation epoch found a diff)
     "cdc_validated_stream": _PIPELINE_SNAPSHOT_SQL,
+    # exactly-once lineage accounting: summed per-partition applied counts
+    # across all microbatches = the source log's per-partition event count,
+    # and each partition's carried frontier = its true max commit_ts
+    "cdc_lineage_metrics": f"""
+      WITH ce AS ({CE_SQL})
+      SELECT CAST(source_partition AS INT) AS source_partition,
+             COUNT(*) AS applied_events,
+             MAX(commit_ts) AS partition_resolved_ts
+      FROM ce GROUP BY source_partition
+    """,
     # per-topic MQ fan-out: the union of both single-topic consumers'
     # tables = the LWW state with the same parity split (keys are
     # conv-sticky, so each key lives in exactly one topic)
@@ -1718,6 +1884,33 @@ ORACLES = {
              WHEN 1 THEN 1 ELSE 2 END AS INT) AS origin FROM ce)
       SELECT op, conv_id, turn_idx, commit_ts, origin FROM t
       WHERE origin IS NULL OR origin = 1
+    """,
+    # DuckDB GLOB has the same wildcard semantics as Python fnmatch on
+    # these patterns (`*` any run, `_` literal)
+    "cdc_table_filter": f"""
+      WITH ce AS ({CE_IDS_SQL}),
+      named AS (SELECT *,
+        CASE WHEN user_id % 2 = 0 THEN 'chats_' || CAST(user_id % 3 AS VARCHAR)
+             WHEN user_id % 5 = 0 THEN 'audit_log' ELSE 'metrics' END AS table_name
+        FROM ce)
+      SELECT table_name, COUNT(*) AS n_events,
+             COUNT(DISTINCT conv_id) AS n_convs
+      FROM named
+      WHERE (table_name GLOB 'chats_*' OR table_name GLOB 'audit*')
+        AND NOT table_name GLOB 'chats_1'
+      GROUP BY table_name
+    """,
+    "cdc_virtual_columns": f"""
+      WITH ce AS ({CE_PAYLOAD_SQL})
+      SELECT conv_id, turn_idx,
+        json_extract_string(payload, '$.role') AS role,
+        json_extract_string(payload, '$.text') AS text,
+        CASE WHEN schema_version >= 2
+             THEN json_extract_string(payload, '$.tool') END AS tool,
+        conv_id || ':' || CAST(turn_idx AS VARCHAR) AS turn_key,
+        CAST(length(json_extract_string(payload, '$.text')) AS BIGINT)
+          AS text_len
+      FROM ce WHERE op <> 'D'
     """,
     "text_stats": f"""
       SELECT doc_id,
