@@ -872,3 +872,111 @@ def test_columns_dispatch_null_skips_name_and_value(spark):
         dispatch_partition("columns", 1024, columns=("region",)).alias("p")
     ).first()["p"]
     assert both == only_region
+
+
+# -------------------------------------------------------- corpus assembly ops
+
+def test_assemble_transcripts_orders_and_marks_tools(spark):
+    """Lines join in turn_idx order regardless of input order; the tool
+    suffix renders only where the (nullable, schema-v2) tool is set; the
+    extra_aggs hook lands in the same aggregation."""
+    from tiflow_spark.functions import corpus as cp
+
+    turns = _direct_rows(
+        [
+            ("I", 2, 1, 0, "c1", 1, "assistant", "hi there", "T3"),
+            ("I", 1, 0, 0, "c1", 0, "user", "hello", None),
+            ("I", 3, 2, 0, "c1", 2, "user", "bye", None),
+            ("I", 1, 0, 0, "c2", 0, "user", "solo", None),
+        ],
+        spark,
+    ).select("conv_id", "turn_idx", "role", "text", "tool")
+    out = {
+        r["conv_id"]: r
+        for r in cp.assemble_transcripts(
+            turns, extra_aggs={"n_tool_turns": F.count("tool").cast("long")}
+        ).collect()
+    }
+    assert out["c1"]["transcript"] == (
+        "user: hello\nassistant: hi there [tool:T3]\nuser: bye"
+    )
+    assert out["c1"]["n_turns"] == 3 and out["c1"]["n_tool_turns"] == 1
+    assert out["c2"]["transcript"] == "user: solo"
+    assert out["c2"]["n_tool_turns"] == 0
+
+
+def test_mixture_sample_deterministic_and_stratified(spark):
+    """The sample is a pure function of (seed, id): re-running yields the
+    identical set; per-stratum keep fractions track the configured rates;
+    unlisted strata fall back to default_rate; every kept row's sample_key
+    is below its stratum's ppm threshold."""
+    from tiflow_spark.functions import corpus as cp
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zz")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 0.9}
+    kept1 = cp.mixture_sample(df, F.col("lang"), rates, default_rate=0.1)
+    kept2 = cp.mixture_sample(df, F.col("lang"), rates, default_rate=0.1)
+    rows = kept1.collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in kept2.collect()
+    )
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["stratum"], []).append(r["sample_key"])
+    ppm = {"en": 500_000, "de": 900_000, "zz": 100_000}
+    for lang, keys in by_lang.items():
+        assert max(keys) < ppm[lang]
+        # ~1334 docs/stratum; h60 is uniform, so observed/expected is tight
+        frac = len(keys) / (4000 / 3)
+        assert abs(frac - ppm[lang] / 1e6) < 0.05, (lang, frac)
+    # a different seed draws a different subset
+    kept3 = cp.mixture_sample(df, F.col("lang"), rates, default_rate=0.1, seed=7)
+    assert sorted(r["doc_id"] for r in kept3.collect()) != sorted(
+        r["doc_id"] for r in rows
+    )
+
+
+def test_mixture_sample_rejects_bad_rate(spark):
+    from tiflow_spark.functions import corpus as cp
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="out of"):
+        cp.mixture_sample(df, F.lit("en"), {"en": 1.5})
+
+
+def test_pack_sequences_greedy_budget_fill(spark):
+    """Within a stripe, docs fill shard k until the running total crosses
+    (k+1)*budget; the straddler stays in shard k and the next doc starts
+    shard k+1. Cross-checked against a sequential reference fill."""
+    from tiflow_spark.functions import corpus as cp
+
+    docs = [(i, 300 + (i * 37) % 500) for i in range(200)]  # id, tokens
+    df = spark.createDataFrame(docs, "doc_id LONG, toks LONG")
+    out = cp.pack_sequences(
+        df, F.col("toks"), budget=2048, n_stripes=4
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    by_stripe = {}
+    for i, t in docs:
+        by_stripe.setdefault(i % 4, []).append((i, t))
+    for stripe, items in by_stripe.items():
+        running = 0
+        for i, t in sorted(items):
+            assert got[i]["stripe"] == stripe
+            assert got[i]["n_tokens"] == t
+            assert got[i]["shard_idx"] == running // 2048, (i, running)
+            running += t
+
+
+def test_pack_sequences_rejects_bad_params(spark):
+    from tiflow_spark.functions import corpus as cp
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="positive"):
+        cp.pack_sequences(df, F.lit(1), budget=0)

@@ -210,3 +210,61 @@ def test_component_propagation_is_distributed_hash_work(spark):
     splan = plan_of(dd._shortcut(labels))
     assert "CartesianProduct" not in splan and "BroadcastNestedLoop" not in splan
     assert "Exchange SinglePartition" not in splan, splan
+
+
+def test_mixture_sample_is_shuffle_free_projection(spark):
+    """Mixture sampling must never shuffle the corpus: the only exchange
+    allowed is the tiny broadcast of the rate dim (at 100 TB a hash
+    exchange here would move the whole corpus just to drop rows) — and the
+    stratum expression must evaluate once, not once per rate branch (the
+    CASE-ladder shape that trips janino's 64 KB codegen limit)."""
+    from tiflow_spark.functions import corpus as cp
+    from tiflow_spark.functions import text as tx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = cp.mixture_sample(
+        d, tx.lang_id(F.col("text")), {"en": 0.5, "de": 0.9, "fr": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "stratum", "sample_key")
+    plan = plan_of(kept)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the stratum expression is evaluated in ONE projection, not re-inlined
+    # per rate: its marker-literal count matches a bare single projection
+    base = plan_of(d.select(tx.lang_id(F.col("text")).alias("stratum")))
+    assert plan.count(" the ,") <= base.count(" the ,"), plan
+
+
+def test_pack_sequences_window_is_striped_not_global(spark):
+    """Sequence packing must window within hash-distributed stripes —
+    never a single-partition global sort (the classic 100 TB killer for
+    naive window plans)."""
+    from tiflow_spark.functions import corpus as cp
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = cp.pack_sequences(d, F.length("text"), budget=4096, n_stripes=8)
+    plan = plan_of(out)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(stripe" in plan, plan
+
+
+def test_assemble_transcripts_is_one_hash_agg(spark):
+    """Transcript assembly must be one hash aggregation on the
+    conversation key: exactly one Exchange, no window, no global sort."""
+    from tiflow_spark.functions import corpus as cp
+
+    turns = spark.range(100).select(
+        F.concat(F.lit("c"), (F.col("id") % 10).cast("string")).alias("conv_id"),
+        (F.col("id") / 10).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("id").cast("string").alias("text"),
+    )
+    import re
+
+    plan = plan_of(cp.assemble_transcripts(turns))
+    # formatted mode prints each node once in the tree and once in the
+    # details — count distinct Exchange node ids, not substring hits
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan

@@ -1130,6 +1130,72 @@ def q_docs_prep_neardup(spark, sf_dir):
     )
 
 
+def q_corpus_from_feed(spark, sf_dir):
+    """The transcripts-tier composition: the CDC feed's replicated state
+    IS the training corpus. Raw change events → frontier → LWW reduce →
+    versioned decode → CowTable merge → snapshot → per-conversation
+    TRANSCRIPT ASSEMBLY (ordered role/text lines with schema-v2 tool
+    markers) → token accounting. The assembly is one hash aggregation on
+    the same key the table is bucketed by (functions/corpus.py); tool
+    markers appear only on turns whose winning version decoded at schema
+    v2 — so the oracle checks assembly AND the versioned-decode path."""
+    from tiflow_spark.functions import corpus as cp
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    ce = change_events_payload(spark, sf_dir)
+    root = _scratch_root(sf_dir + "#corpus", "tiflow_corpus_q_")
+    table = CowTable(
+        spark, root, n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    apply_epoch(table, _pipeline_registry(), ce, batch_id=0)
+    asm = cp.assemble_transcripts(
+        table.snapshot().select(*_SNAPSHOT_COLS),
+        extra_aggs={"n_tool_turns": F.count("tool").cast("long")},
+    )
+    return asm.select(
+        "conv_id", "n_turns", "n_tool_turns",
+        tx.token_count(F.col("transcript")).cast("long").alias("n_tokens"),
+        tx.bpe_token_estimate(F.col("transcript")).cast("long").alias("bpe_tokens"),
+        "transcript",
+    )
+
+
+def q_docs_sample_mixture(spark, sf_dir):
+    """Corpus mixture weighting: deterministic per-language Bernoulli
+    sampling via the shared h60 hash (functions/corpus.py) — keep 50% of
+    en, 90% of de, 25% of fr, 70% of es, 10% of the rest. Pure
+    projection + filter over the scan; bit-reproducible across engines
+    and re-runs (no sampling state)."""
+    from tiflow_spark.functions import corpus as cp
+
+    d = _t(spark, sf_dir, "documents")
+    kept = cp.mixture_sample(
+        d,
+        tx.lang_id(F.col("text")),
+        rates={"en": 0.5, "de": 0.9, "fr": 0.25, "es": 0.7},
+        default_rate=0.1,
+        seed=42,
+    )
+    return kept.select("doc_id", "stratum", "sample_key")
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing of the quality-kept corpus into
+    training shards (functions/corpus.py): stripe by doc_id % 8, then a
+    per-stripe running BPE-token sum assigns each doc to the shard that
+    was still under the 8192-token budget when it arrived. The window
+    partitions by stripe — no global sort anywhere in the plan."""
+    from tiflow_spark.functions import corpus as cp
+
+    d = _t(spark, sf_dir, "documents")
+    kept = d.filter(F.round(tx.quality_score(F.col("text")), 6) >= 0.9)
+    return cp.pack_sequences(
+        kept, tx.bpe_token_estimate(F.col("text")), budget=8192, n_stripes=8
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash64(_t(spark, sf_dir, "documents"))
 
@@ -1239,6 +1305,9 @@ QUERIES = {
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_components": q_dedup_components,
     "docs_prep_neardup": q_docs_prep_neardup,
+    "corpus_from_feed": q_corpus_from_feed,
+    "docs_sample_mixture": q_docs_sample_mixture,
+    "docs_pack_sequences": q_docs_pack_sequences,
     "dedup_simhash": q_dedup_simhash,
     "dedup_winnowing": q_dedup_winnowing,
     "multimodal_features": q_multimodal_features,
@@ -2084,6 +2153,91 @@ ORACLES = {
              s.quality, s.n_dupes
       FROM surv s LEFT JOIN closure c ON c.id = s.doc_id
       WHERE s.doc_id = coalesce(c.comp, s.doc_id)
+    """,
+    # transcripts from the replicated feed: the LWW snapshot's turns
+    # assembled into ordered per-conversation transcripts (tool markers
+    # only where the winning version decoded at schema v2), then token
+    # accounting over the assembled text (same token/bpe SQL as text_*)
+    "corpus_from_feed": f"""
+      WITH snap AS ({_PIPELINE_SNAPSHOT_SQL}),
+      lines AS (
+        SELECT conv_id, turn_idx, tool,
+          role || ': ' || text ||
+          CASE WHEN tool IS NOT NULL THEN ' [tool:' || tool || ']'
+               ELSE '' END AS line
+        FROM snap),
+      asm AS (
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(tool) AS BIGINT) AS n_tool_turns,
+               string_agg(line, chr(10) ORDER BY turn_idx) AS transcript
+        FROM lines GROUP BY conv_id)
+      SELECT conv_id, n_turns, n_tool_turns,
+        CAST(CASE WHEN length(trim(transcript)) = 0 THEN 0
+             ELSE length(regexp_split_to_array(trim(transcript), '\\s+'))
+             END AS BIGINT) AS n_tokens,
+        CAST(list_sum(list_transform(
+               regexp_split_to_array(trim(transcript), '\\s+'),
+               w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+             + length(regexp_replace(transcript, '[^.,;:!?()\\[\\]{{}}]', '', 'g'))
+             AS BIGINT) AS bpe_tokens,
+        transcript
+      FROM asm
+    """,
+    # deterministic mixture sampling: same h60 hash, same ppm thresholds
+    "docs_sample_mixture": f"""
+      WITH d AS (
+        SELECT doc_id, {_lang_sql()} AS stratum,
+               {h60_sql("'mix:42:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                 AS sample_key
+        FROM documents)
+      SELECT doc_id, stratum, sample_key FROM d
+      WHERE sample_key < CASE stratum
+        WHEN 'de' THEN 900000 WHEN 'en' THEN 500000
+        WHEN 'es' THEN 700000 WHEN 'fr' THEN 250000 ELSE 100000 END
+    """,
+    # greedy token-budget packing: per-stripe running sum, shard = the
+    # budget bucket the doc's PRECEDING cumulative total fell in
+    "docs_pack_sequences": f"""
+      WITH f AS (
+        SELECT doc_id, text,
+          length(text) AS n_chars,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+          length(replace(text, ' ', '')) AS n_nonspace,
+          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+          ((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5.0
+           + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5.0
+           + (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 5.0)
+            AS stop_hits
+        FROM documents),
+      g AS (
+        SELECT doc_id, text, n_chars, n_punct,
+          CASE WHEN n_words > 0 THEN n_nonspace * 1.0 / n_words ELSE 0.0 END AS mwl,
+          CASE WHEN n_words > 0 THEN stop_hits / n_words ELSE 0.0 END AS swr,
+          CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr
+        FROM f),
+      sel AS (
+        SELECT doc_id, text FROM g
+        WHERE round(CAST(
+            (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+          + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END) * 0.3
+          + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+          + (CASE WHEN swr > 0.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS DOUBLE), 6) >= 0.9),
+      toks AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS stripe,
+          CAST(list_sum(list_transform(
+                 regexp_split_to_array(trim(text), '\\s+'),
+                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+               + length(regexp_replace(text, '[^.,;:!?()\\[\\]{{}}]', '', 'g'))
+               AS BIGINT) AS n_tokens
+        FROM sel)
+      SELECT doc_id, stripe, n_tokens,
+        CAST(floor((sum(n_tokens) OVER (
+               PARTITION BY stripe ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens) / 8192.0) AS BIGINT)
+          AS shard_idx
+      FROM toks
     """,
     "dedup_simhash": _simhash_sql(60),
     "dedup_winnowing": f"""
