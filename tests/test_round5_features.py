@@ -980,3 +980,125 @@ def test_pack_sequences_rejects_bad_params(spark):
     df = spark.range(3).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError, match="positive"):
         cp.pack_sequences(df, F.lit(1), budget=0)
+
+
+# ------------------------------------------------- round-5 self-review pins
+
+def test_craft_roundtrip_nullable_data_long(spark):
+    """Review fix: the mounter NULL-backfills integer DATA columns added by
+    a later schema version, so craft must round-trip NULLs there (wire
+    type 2, per-row presence flag) while still failing loudly on a NULL
+    envelope/key long."""
+    from pyspark.sql import types as T
+
+    from tiflow_spark.sinks.codecs import craft_decode, craft_encode
+
+    rows = [
+        ("I", 100 + i, 99 + i, f"c{i % 3}", i,
+         None if i % 4 == 0 else 1000 + i, f"t{i % 2}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, "
+        "turn_idx INT, score LONG, text STRING",
+    ).coalesce(1)
+    enc = craft_encode(df)
+    out_schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("commit_ts", T.LongType()),
+        T.StructField("start_ts", T.LongType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("score", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    got = sorted(tuple(r) for r in craft_decode(enc, out_schema).collect())
+    assert got == sorted(rows)
+
+
+def test_mixture_sample_validates_default_stratum_and_rate(spark):
+    """Review fix: a stratum literally named 'default' must not escape the
+    rate range check (the old dict merge shadowed it with default_rate),
+    and default_rate itself is range-checked."""
+    from tiflow_spark.functions import corpus as cp
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="default"):
+        cp.mixture_sample(df, F.lit("default"), {"default": 1.5})
+    with pytest.raises(ValueError, match="default_rate"):
+        cp.mixture_sample(df, F.lit("x"), {"x": 0.5}, default_rate=-0.1)
+
+
+def test_encode_for_mq_null_table_with_selector_fails_loudly(spark):
+    """Review fix: a NULL table_name in a column-selector feed used to die
+    deep in fnmatch with a bare TypeError (and the when-chain would emit a
+    NULL message value); it must fail with a routing-level error."""
+    from tiflow_spark.sinks.mq import ColumnSelector, encode_for_mq
+
+    frame = spark.createDataFrame(
+        [("I", 10, 9, "c1", 0, None, "hello")],
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, "
+        "turn_idx INT, table_name STRING, text STRING",
+    )
+    sel = ColumnSelector([{"matcher": ["*"], "columns": ["text"]}])
+    with pytest.raises(ValueError, match="NULL 'table_name'"):
+        encode_for_mq(frame, column_selector=sel)
+
+
+def test_validation_evidence_commit_crash_leaves_feed_retryable(spark, tmp_path):
+    """Review fix (write-before-reference): the evidence captures are
+    COPIED before the manifest commit, so a crash mid-validate leaves the
+    live manifest's validator_nets paths intact and validate_now simply
+    retries — the old rename-then-commit order wedged the feed forever."""
+    import os as _os
+
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    events_dir = tmp_path / "events"
+    for name, rows in {
+        "e1": [_ev("I", 10, "k1", text="truth-1")],
+        "e2": [_ev("I", 20, "k2", text="truth-2")],
+    }.items():
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(events_dir / name))
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=2)
+    feed = Changefeed(
+        spark=spark, events_dir=str(events_dir / "e*"),
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+        registry=[SchemaVersion(1, 0, PAYLOAD_V1)],
+        max_files_per_trigger=1, validate_every=99,
+    )
+    feed.run_available_now()
+    m = table.current_manifest()
+    nets = m.get("validator_nets")
+    assert nets, "epoch captures expected"
+    # corrupt the table so the validation FAILS (evidence path taken)
+    bdf = spark.createDataFrame([("k1", 0)], "conv_id STRING, turn_idx INT")
+    b = bdf.select(
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)).cast("int").alias("b")
+    ).first()["b"]
+    path = str(tmp_path / "t" / m["buckets"][str(b)])
+    df = spark.read.parquet(path)
+    pdf = df.toPandas()
+    pdf.loc[pdf.conv_id == "k1", "text"] = "CORRUPT"
+    spark.createDataFrame(pdf, df.schema).coalesce(1).write.mode(
+        "overwrite").parquet(path)
+
+    # crash exactly between evidence materialization and the commit
+    real_commit = table._commit_manifest
+
+    def crash(_m):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    table._commit_manifest = crash
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        feed.validate_now()
+    # the live manifest still references captures that EXIST on disk
+    for rel in table.current_manifest()["validator_nets"]:
+        assert _os.path.isdir(str(tmp_path / "t" / rel)), rel
+    # ... so a retry after restart completes and records the finding
+    table._commit_manifest = real_commit
+    rec = feed.validate_now()
+    assert not rec["ok"] and rec["evidence"]

@@ -127,9 +127,14 @@ def mixture_sample(
     (rates are a tiny dimension; at 1000 executors the broadcast is a few
     hundred bytes).
     """
-    for name, rate in {**rates, "default": default_rate}.items():
+    # validate rates and default_rate separately: merging them into one
+    # dict would let a stratum literally named "default" shadow (or be
+    # shadowed by) default_rate and escape the range check
+    for name, rate in rates.items():
         if not 0.0 <= rate <= 1.0:
             raise ValueError(f"rate for {name!r} out of [0,1]: {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate out of [0,1]: {default_rate}")
     key = h60(
         F.concat(F.lit(f"mix:{seed}:"), F.col(id_col).cast("string"))
     ) % PPM

@@ -324,7 +324,7 @@ def connected_components(
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "with pointer-doubling that bounds diameter by ~2^{max_iter}; "
+        f"with pointer-doubling that bounds diameter by ~2^{max_iter}; "
         "the pair graph is malformed"
     )
 

@@ -726,9 +726,12 @@ def craft_encode(
 ) -> DataFrame:
     """Encode change rows into columnar craft-analog batch messages:
     one (value: binary, n_rows: int) row per Arrow batch. Columns taken
-    from the frame: op, commit_ts, start_ts, keys, data columns. Long
-    columns must be non-null (the CDC envelope's longs always are; the
-    reference's craft likewise reserves a sentinel only for strings)."""
+    from the frame: op, commit_ts, start_ts, keys, data columns. ENVELOPE
+    and KEY longs must be non-null (fail-loud — a null commit_ts encoded
+    as 0 would corrupt LWW replay order); DATA long columns are nullable
+    (the mounter legitimately NULL-backfills integer columns added by a
+    later schema version) and use wire type 2, which carries a per-row
+    presence flag."""
     import pandas as pd
 
     from pyspark.sql import types as PT
@@ -740,6 +743,9 @@ def craft_encode(
         f.name for f in src.schema.fields
         if f.dataType.simpleString() in ("bigint", "int")
     }
+    # envelope timestamps and primary-key columns are non-null by contract;
+    # everything else long-typed is decoded data and may be NULL-backfilled
+    strict_longs = long_cols & {"commit_ts", "start_ts", *key_cols}
     out_schema = PT.StructType(
         [
             PT.StructField("value", PT.BinaryType()),
@@ -767,23 +773,38 @@ def craft_encode(
             for c in cols:
                 vals = pdf[c]
                 if c in long_cols:
-                    if vals.isna().any():
+                    has_null = vals.isna().any()
+                    if has_null and c in strict_longs:
                         # fail loudly (codebase-wide style): silently
                         # encoding NULL as 0 would round-trip a null
                         # commit_ts/start_ts as 0 and corrupt the replay's
-                        # LWW order. The envelope's longs are non-null by
-                        # contract; nullable values belong in string columns
-                        # (which reserve a NULL marker).
+                        # LWW order, and a NULL primary key is corrupt
+                        # input by definition.
                         raise ValueError(
                             f"craft_encode: NULL in long column {c!r} — "
-                            "long columns are non-null by contract"
+                            "envelope and key longs are non-null by "
+                            "contract"
                         )
-                    prev, out = 0, []
-                    for v in vals:
-                        iv = int(v)
-                        out.append(iv - prev)
-                        prev = iv
-                    encoded_cols.append((c, 1, out))
+                    if c in strict_longs or not has_null:
+                        prev, out = 0, []
+                        for v in vals:
+                            iv = int(v)
+                            out.append(iv - prev)
+                            prev = iv
+                        encoded_cols.append((c, 1, out))
+                    else:
+                        # nullable data long: per-row presence flag, deltas
+                        # run over present values only
+                        prev, out = 0, []
+                        for v in vals:
+                            if pd.isna(v):
+                                out.append(0)
+                            else:
+                                iv = int(v)
+                                out.append(1)
+                                out.append(iv - prev)
+                                prev = iv
+                        encoded_cols.append((c, 2, out))
                 else:
                     encoded_cols.append((c, 0, [term_id(v) for v in vals]))
 
@@ -839,6 +860,16 @@ def craft_decode(frame: DataFrame, schema: T.StructType) -> DataFrame:
                             d, pos = _avro_read_varint(buf, pos)
                             acc += d
                             vals.append(acc)
+                    elif tcode == 2:
+                        acc = 0
+                        for _ in range(n):
+                            flag, pos = _avro_read_varint(buf, pos)
+                            if flag == 0:
+                                vals.append(None)
+                            else:
+                                d, pos = _avro_read_varint(buf, pos)
+                                acc += d
+                                vals.append(acc)
                     else:
                         for _ in range(n):
                             tid, pos = _avro_read_varint(buf, pos)

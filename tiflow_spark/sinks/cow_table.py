@@ -934,8 +934,14 @@ class CowTable:
                     os.remove(f"{self.root}/_manifest/{seq}.json")
                 except FileNotFoundError:
                     pass
+        # one pass over the live manifests collects EVERY reference kind —
+        # data buckets, MOR deltas, pending store, validator captures/
+        # pending-expected, DLQ batches — so a future manifest-referenced
+        # store has exactly one place to register for GC protection
         referenced: set[str] = set()
         pending_refs: set[str] = set()
+        validator_refs: set[str] = set()
+        dlq_refs: set[str] = set()
         for seq in live:
             m = self._read_manifest(seq)
             referenced.update(m.get("buckets", {}).values())
@@ -943,6 +949,10 @@ class CowTable:
                 referenced.update(rels)
             if m.get("pending"):
                 pending_refs.add(m["pending"])
+            validator_refs.update(m.get("validator_nets") or [])
+            if m.get("validator_pending"):
+                validator_refs.add(m["validator_pending"])
+            dlq_refs.update(m.get("dlq") or [])
         removed = 0
         for top in ("data", "delta"):
             data_root = f"{self.root}/{top}"
@@ -970,14 +980,6 @@ class CowTable:
         # validator stores: captured nets + pending-expected generations not
         # referenced by any live manifest (consumed by a validation epoch,
         # or orphaned by a crash before their manifest committed)
-        validator_refs: set[str] = set()
-        dlq_refs: set[str] = set()
-        for seq in live:
-            m = self._read_manifest(seq)
-            validator_refs.update(m.get("validator_nets") or [])
-            if m.get("validator_pending"):
-                validator_refs.add(m["validator_pending"])
-            dlq_refs.update(m.get("dlq") or [])
         for sub in ("net", "pending"):
             vroot = f"{self.root}/_validator/{sub}"
             if not os.path.isdir(vroot):

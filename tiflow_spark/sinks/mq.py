@@ -258,6 +258,16 @@ def encode_for_mq(
             [r[0] for r in decoded.select(tcol).distinct().collect()]
             if tcol is not None else [schema_name]
         )
+        if tcol is not None and any(t is None for t in tables):
+            # fail loudly with a routing-level message instead of letting
+            # fnmatch(None, ...) die with an unrelated TypeError (and the
+            # when-chain has no .otherwise, so a NULL table would otherwise
+            # silently produce a NULL message value)
+            raise ValueError(
+                f"encode_for_mq: NULL {tcol!r} in a column-selector feed — "
+                "rows without a table name cannot be routed through "
+                "per-table rules; filter or repair them upstream"
+            )
         if not tables:  # empty batch: nothing to project, plain envelope
             tables, tcol = [schema_name], None
         # group tables by retained-column tuple so the when-chain stays

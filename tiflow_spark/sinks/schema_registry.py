@@ -147,7 +147,8 @@ class SchemaRegistryClient:
                     raise SchemaRegistryError(e.code, text) from None
             except urllib.error.URLError as e:  # connection refused/reset
                 last = e
-            time.sleep(self.backoff * (2**attempt))
+            if attempt < self.max_retries:  # no dead sleep after the last try
+                time.sleep(self.backoff * (2**attempt))
         raise SchemaRegistryError(0, f"retries exhausted for {method} {url}: {last}")
 
     # -- API ---------------------------------------------------------------

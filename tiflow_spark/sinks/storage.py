@@ -66,19 +66,23 @@ def read_change_files(spark: SparkSession, root: str, fmt: str = "json") -> Data
     return reader.option("header", "true").csv(paths) if fmt == "csv" else reader.json(paths)
 
 
-# envelope columns every change file carries alongside the versioned data
-# columns; types are fixed by the engine's event schema (sources/events.py)
-_ENVELOPE_TYPES: dict[str, str] = {
-    "conv_id": "string",
-    "turn_idx": "int",
-    "op": "string",
-    "commit_ts": "bigint",
-    "start_ts": "bigint",
-    "op_order": "int",
-    "source_partition": "int",
-    "schema_version": "int",
-    "table_name": "string",
-}
+def _envelope_types() -> dict[str, str]:
+    """Envelope columns every change file carries alongside the versioned
+    data columns, DERIVED from the engine's canonical event schema
+    (streaming/runner.CHANGE_EVENT_SCHEMA_MULTI) so a future envelope
+    change cannot silently drift the consumer's casts. payload columns
+    are replaced by the decoded data columns in storage files; op_order
+    is computed downstream of decode (operators/ordering.with_op_order),
+    so it rides alongside."""
+    from tiflow_spark.streaming.runner import CHANGE_EVENT_SCHEMA_MULTI
+
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in CHANGE_EVENT_SCHEMA_MULTI.fields
+        if f.name not in ("payload", "pre_payload")
+    }
+    types["op_order"] = "int"
+    return types
 
 
 def replay_storage(spark: SparkSession, root: str, table, fmt: str = "json") -> dict:
@@ -146,12 +150,13 @@ def replay_storage(spark: SparkSession, root: str, table, fmt: str = "json") -> 
             raw = spark.read.json(batch_dirs)
         vschema = PT.StructType.fromJson(meta["schema"])
         declared = {f.name: f.dataType for f in vschema.fields}
+        envelope_types = _envelope_types()
         cols = []
-        for name, typ in _ENVELOPE_TYPES.items():
+        for name, typ in envelope_types.items():
             if name in raw.columns:
                 cols.append(F.col(name).cast(typ).alias(name))
         for f in latest_fields:
-            if f.name in _ENVELOPE_TYPES:
+            if f.name in envelope_types:
                 continue
             if f.name in raw.columns and f.name in declared:
                 cols.append(F.col(f.name).cast(declared[f.name]).alias(f.name))

@@ -58,10 +58,14 @@ class _CascadeHandle:
         return self._thread.is_alive()
 
     def stop(self) -> None:
+        # deliberately does NOT re-raise a stored loop failure: the caller
+        # (pause/remove) inspects ``.exception`` via _query_error AFTER the
+        # stop and persists state=error first. Raising here would escape
+        # pause() between the handle pop and the spec save, so the failure
+        # would never reach disk and a retried pause would record the feed
+        # as cleanly 'stopped'.
         self._stop.set()
         self._thread.join(timeout=60)
-        if self.exception is not None:
-            raise self.exception
 
 
 class ChangefeedController:

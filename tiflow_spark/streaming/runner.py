@@ -666,24 +666,37 @@ class Changefeed:
             and (frozen is None or frozen.identical),
         }
         # a FAILED validation preserves its expected-rows evidence: the
-        # consumed captures move (not copy — same filesystem rename) into
-        # _validation_evidence/ so the operator can diff expected vs actual
-        # row-by-row (the incremental mode exists precisely because the
-        # source log can't be rescanned; deleting the captures here would
-        # leave only aggregate counts). The reference validator keeps
-        # failed rows for retry/inspection (dm/syncer/data_validator.go).
-        # The dir sits outside vacuum's roots — retained until the
-        # operator repairs (operators/validate.repair) and deletes it.
+        # consumed captures (and the pending generation folded into this
+        # window — in-flight keys that settled here are in the captures'
+        # pending store, not in new_pend) are COPIED into
+        # _validation_evidence/ BEFORE the manifest commit, so the operator
+        # can diff expected vs actual row-by-row (the incremental mode
+        # exists precisely because the source log can't be rescanned;
+        # keeping only aggregate counts would be useless). A rename here
+        # would invert the write-before-reference rule: a crash between
+        # rename and commit leaves the live manifest pointing at moved-away
+        # validator_nets and wedges every later validate_now. A copy is
+        # crash-safe in both orderings (worst case: an orphan evidence dir
+        # the operator deletes). The reference validator keeps failed rows
+        # for retry/inspection (dm/syncer/data_validator.go). The dir sits
+        # outside vacuum's roots — retained until the operator repairs
+        # (operators/validate.repair) and deletes it.
         evidence_rel = None
         if not record["ok"]:
-            import os as _os
+            import shutil as _shutil
 
             evidence_rel = f"_validation_evidence/s{cur + 1}"
-            _os.makedirs(f"{table.root}/{evidence_rel}", exist_ok=True)
             for i, rel in enumerate(nets):
-                _os.rename(
+                _shutil.copytree(
                     f"{table.root}/{rel}",
                     f"{table.root}/{evidence_rel}/net_{i:04d}",
+                    dirs_exist_ok=True,
+                )
+            if pend_rel:
+                _shutil.copytree(
+                    f"{table.root}/{pend_rel}",
+                    f"{table.root}/{evidence_rel}/pending_in",
+                    dirs_exist_ok=True,
                 )
             record["evidence"] = evidence_rel
         table._commit_manifest(
