@@ -465,6 +465,78 @@ def q_cdc_streaming_e2e(spark, sf_dir):
     return table.snapshot().select(*_SNAPSHOT_COLS)
 
 
+# Deterministic poison predicate shared by the DLQ queries and their
+# oracles: ~1% of row events get an undecodable payload.
+_DLQ_POISON = "(op IN ('I', 'U')) AND (commit_ts % 101 = 0)"
+
+
+def _dlq_feed(spark, sf_dir, tag):
+    """Shared harness for the DLQ oracles: poison ~1% of payloads, run the
+    REAL streaming runner with dead_letter=True (reference
+    /root/reference/dm/syncer/handle_error.go — a poisoned event must not
+    wedge the feed), and hand back (feed, table, corrected-originals)."""
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.streaming.runner import Changefeed
+
+    ce = change_events_payload(spark, sf_dir)
+    poisoned = ce.withColumn(
+        "payload",
+        F.when(F.expr(_DLQ_POISON), F.lit('{"broken')).otherwise(
+            F.col("payload")
+        ),
+    )
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#" + tag, f"tiflow_{tag}_q_")
+    events_dir = f"{root}/events"
+    for i in range(4):
+        lo, hi = i * 250_000, (i + 1) * 250_000
+        (
+            poisoned.filter(
+                (F.col("commit_ts") >= lo) & (F.col("commit_ts") < hi)
+            ).coalesce(1).write.parquet(f"{events_dir}/epoch_{i}")
+        )
+    table = CowTable(
+        spark, f"{root}/table", n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    feed = Changefeed(
+        spark=spark, events_dir=f"{events_dir}/epoch_*",
+        checkpoint_dir=f"{root}/ckpt", table=table,
+        registry=registry, max_files_per_trigger=1,
+        event_schema=ce.schema, dead_letter=True,
+    )
+    feed.run_available_now()
+    return feed, table, ce.filter(F.expr(_DLQ_POISON))
+
+
+def q_cdc_dlq_replace(spark, sf_dir):
+    """Dead-letter replace under the driver oracle: the feed quarantines
+    every undecodable payload instead of wedging, completes, and
+    ``dlq_resolve('replace', corrected)`` re-applies the corrected events
+    at their ORIGINAL commit_ts through the same LWW/fence path — so the
+    final snapshot must be indistinguishable from a feed that never saw
+    poison (the full-log LWW oracle, _PIPELINE_SNAPSHOT_SQL)."""
+    feed, table, corrected = _dlq_feed(spark, sf_dir, "dlqrep")
+    dlq = feed.dlq_list()
+    assert dlq is not None and dlq.count() > 0, "poison must be quarantined"
+    feed.dlq_resolve("replace", corrected)
+    assert feed.dlq_list() is None, "replace must clear the DLQ"
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
+def q_cdc_dlq_skip(spark, sf_dir):
+    """Dead-letter skip under the driver oracle: the operator judges the
+    quarantined events garbage; the final state is the LWW over the clean
+    events ONLY — the poisoned updates/inserts must neither apply nor
+    resurrect later (handle_error.go's binlog-event skip)."""
+    feed, table, _ = _dlq_feed(spark, sf_dir, "dlqskip")
+    dlq = feed.dlq_list()
+    assert dlq is not None and dlq.count() > 0, "poison must be quarantined"
+    feed.dlq_resolve("skip")
+    assert feed.dlq_list() is None, "skip must clear the DLQ"
+    return table.snapshot().select(*_SNAPSHOT_COLS)
+
+
 def q_cdc_ddl_stream(spark, sf_dir):
     """DDL puller + barrier + sink DDL execution under the driver oracle
     (/root/reference/cdc/owner/ddl_puller.go:190-302, barrier.go:22-47,
@@ -1274,6 +1346,8 @@ QUERIES = {
     "cdc_cascade_snapshot": q_cdc_cascade_snapshot,
     "cdc_strict_frontier": q_cdc_strict_frontier,
     "cdc_streaming_e2e": q_cdc_streaming_e2e,
+    "cdc_dlq_replace": q_cdc_dlq_replace,
+    "cdc_dlq_skip": q_cdc_dlq_skip,
     "cdc_ddl_stream": q_cdc_ddl_stream,
     "cdc_lineage_metrics": q_cdc_lineage_metrics,
     "cdc_validated_stream": q_cdc_validated_stream,
@@ -1695,6 +1769,25 @@ ORACLES = {
     # state as the one-shot COW pipeline — one oracle, four engine paths
     "cdc_mor_snapshot": _PIPELINE_SNAPSHOT_SQL,
     "cdc_streaming_e2e": _PIPELINE_SNAPSHOT_SQL,
+    # replace re-applies corrected events at their original commit_ts, so
+    # the end state is indistinguishable from a never-poisoned feed
+    "cdc_dlq_replace": _PIPELINE_SNAPSHOT_SQL,
+    # skip drops the quarantined events permanently: LWW over clean rows
+    "cdc_dlq_skip": f"""
+      WITH ce AS ({CE_PAYLOAD_SQL}),
+      clean AS (SELECT * FROM ce WHERE NOT ({_DLQ_POISON})),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY commit_ts DESC, start_ts DESC, {OP_ORDER_SQL} DESC) AS rn
+        FROM clean)
+      SELECT conv_id, turn_idx,
+             json_extract_string(payload, '$.role') AS role,
+             json_extract_string(payload, '$.text') AS text,
+             CASE WHEN schema_version >= 2
+                  THEN json_extract_string(payload, '$.tool') END AS tool
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
     # a feed that learns schema v2 from an IN-STREAM DDL converges to the
     # same version-gated state as one configured with the full registry
     # (this query's own v1/v2 split at 150k — see q_cdc_ddl_stream)
