@@ -268,3 +268,16 @@ def test_assemble_transcripts_is_one_hash_agg(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_corpus_pipeline_e2e_no_global_sort(spark):
+    """The full transcripts-tier composition (feed -> assembly -> quality
+    -> dedup -> mixture -> packing) must inherit its stages' scale
+    discipline: no Exchange SinglePartition anywhere — the packing window
+    stays striped and the dedup window partitions by fingerprint."""
+    from tiflow_spark.plans.bench_queries import q_corpus_pipeline_e2e
+
+    out = q_corpus_pipeline_e2e(spark, SF)
+    plan = plan_of(out)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(stripe" in plan, plan

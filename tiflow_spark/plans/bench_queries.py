@@ -1268,6 +1268,57 @@ def q_docs_pack_sequences(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline_e2e(spark, sf_dir):
+    """The graft's FULL transcripts-tier pipeline under ONE oracle: raw
+    change events → LWW replicated state → per-conversation transcript
+    assembly → quality gate → exact dedup (keep lowest conv_id per
+    normalized-transcript fingerprint) → deterministic language-mixture
+    sampling → token-budget sequence packing into training shards. Every
+    stage is an already-oracled operator; this query pins that their
+    COMPOSITION stays correct end-to-end (a pretraining-data run is this
+    composition, not the stages in isolation). All JVM: one merge, one
+    hash-agg assembly, projections/filters, one broadcast (rate dim), one
+    per-stripe window — no shuffle beyond the agg and the tiny window."""
+    from tiflow_spark.functions import corpus as cp
+    from tiflow_spark.functions.xhash import h60
+    from tiflow_spark.plans.pipeline import apply_epoch
+    from tiflow_spark.sinks.cow_table import CowTable
+
+    ce = change_events_payload(spark, sf_dir)
+    root = _scratch_root(sf_dir + "#corpe2e", "tiflow_corpe2e_q_")
+    table = CowTable(
+        spark, root, n_buckets=16,
+        data_schema={"role": "string", "text": "string", "tool": "string"},
+    )
+    apply_epoch(table, _pipeline_registry(), ce, batch_id=0)
+    asm = cp.assemble_transcripts(table.snapshot().select(*_SNAPSHOT_COLS))
+    quality = asm.filter(
+        F.round(tx.quality_score(F.col("transcript")), 6) >= 0.8
+    ).select("conv_id", "transcript")
+    keepers = dd.exact_dedup(quality, text_col="transcript", id_col="conv_id")
+    deduped = quality.join(
+        keepers.select(F.col("keep_id").alias("conv_id")), "conv_id"
+    )
+    sampled = cp.mixture_sample(
+        deduped,
+        tx.lang_id(F.col("transcript")),
+        rates={"en": 0.9},
+        default_rate=0.7,
+        id_col="conv_id",
+        seed=42,
+    )
+    packed_in = sampled.withColumn(
+        "doc_key", h60(F.concat(F.lit("pack:"), F.col("conv_id")))
+    )
+    return cp.pack_sequences(
+        packed_in,
+        tx.bpe_token_estimate(F.col("transcript")),
+        budget=4096,
+        n_stripes=8,
+        id_col="doc_key",
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash64(_t(spark, sf_dir, "documents"))
 
@@ -1382,6 +1433,7 @@ QUERIES = {
     "corpus_from_feed": q_corpus_from_feed,
     "docs_sample_mixture": q_docs_sample_mixture,
     "docs_pack_sequences": q_docs_pack_sequences,
+    "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
     "dedup_simhash": q_dedup_simhash,
     "dedup_winnowing": q_dedup_winnowing,
     "multimodal_features": q_multimodal_features,
@@ -1399,8 +1451,8 @@ def _count_sql(haystack: str, needle: str) -> str:
     return f"(length({haystack}) - length(replace({haystack}, '{needle}', ''))) / {n}"
 
 
-def _lang_sql() -> str:
-    padded = "' ' || lower(text) || ' '"
+def _lang_sql(col: str = "text") -> str:
+    padded = f"' ' || lower({col}) || ' '"
     scores = {
         lang: " + ".join(_count_sql(padded, m) for m in markers)
         for lang, markers in tx.LANG_MARKERS.items()
@@ -2329,6 +2381,84 @@ ORACLES = {
         CAST(floor((sum(n_tokens) OVER (
                PARTITION BY stripe ORDER BY doc_id
                ROWS UNBOUNDED PRECEDING) - n_tokens) / 8192.0) AS BIGINT)
+          AS shard_idx
+      FROM toks
+    """,
+    # the full transcripts-tier composition: feed LWW -> assembly ->
+    # quality gate -> exact dedup -> mixture sample -> packing
+    "corpus_pipeline_e2e": f"""
+      WITH snap AS ({_PIPELINE_SNAPSHOT_SQL}),
+      lines AS (
+        SELECT conv_id, turn_idx,
+          role || ': ' || text ||
+          CASE WHEN tool IS NOT NULL THEN ' [tool:' || tool || ']'
+               ELSE '' END AS line
+        FROM snap),
+      asm AS (
+        SELECT conv_id,
+               string_agg(line, chr(10) ORDER BY turn_idx) AS transcript
+        FROM lines GROUP BY conv_id),
+      feat AS (
+        SELECT conv_id, transcript,
+          length(transcript) AS n_chars,
+          CASE WHEN length(trim(transcript)) = 0 THEN 0
+               ELSE length(regexp_split_to_array(trim(transcript), '\\s+'))
+               END AS n_words,
+          length(replace(transcript, ' ', '')) AS n_nonspace,
+          length(regexp_replace(transcript, '[^.,;:!?]', '', 'g')) AS n_punct,
+          ((length(lower(transcript)) -
+            length(replace(lower(transcript), ' the ', ''))) / 5.0
+           + (length(lower(transcript)) -
+              length(replace(lower(transcript), ' and ', ''))) / 5.0
+           + (length(lower(transcript)) -
+              length(replace(lower(transcript), ' of ', ''))) / 5.0)
+            AS stop_hits
+        FROM asm),
+      scored AS (
+        SELECT conv_id, transcript, n_chars, n_punct,
+          CASE WHEN n_words > 0 THEN n_nonspace * 1.0 / n_words
+               ELSE 0.0 END AS mwl,
+          CASE WHEN n_words > 0 THEN stop_hits / n_words ELSE 0.0 END AS swr,
+          CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+               ELSE 0.0 END AS pr
+        FROM feat),
+      quality AS (
+        SELECT conv_id, transcript FROM scored
+        WHERE round(CAST(
+            (CASE WHEN n_chars >= 20 AND n_chars <= 100000
+                  THEN 1.0 ELSE 0.0 END) * 0.3
+          + (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END) * 0.3
+          + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+          + (CASE WHEN swr > 0.0 THEN 1.0 ELSE 0.0 END) * 0.2
+            AS DOUBLE), 6) >= 0.8),
+      deduped AS (
+        SELECT conv_id, transcript FROM (
+          SELECT conv_id, transcript,
+            min(conv_id) OVER (PARTITION BY md5(regexp_replace(
+              lower(trim(transcript)), '\\s+', ' ', 'g'))) AS keep_id
+          FROM quality)
+        WHERE conv_id = keep_id),
+      sampled AS (
+        SELECT conv_id, transcript FROM (
+          SELECT conv_id, transcript,
+            {_lang_sql("transcript")} AS stratum,
+            {h60_sql("'mix:42:' || conv_id")} % 1000000 AS sample_key
+          FROM deduped)
+        WHERE sample_key < CASE stratum WHEN 'en' THEN 900000
+                                        ELSE 700000 END),
+      toks AS (
+        SELECT {h60_sql("'pack:' || conv_id")} AS doc_key,
+          CAST(list_sum(list_transform(
+                 regexp_split_to_array(trim(transcript), '\\s+'),
+                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+               + length(regexp_replace(
+                   transcript, '[^.,;:!?()\\[\\]{{}}]', '', 'g'))
+               AS BIGINT) AS n_tokens
+        FROM sampled)
+      SELECT doc_key, CAST(doc_key % 8 AS INT) AS stripe, n_tokens,
+        CAST(floor((sum(n_tokens) OVER (
+               PARTITION BY stripe ORDER BY doc_key
+               ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096.0) AS BIGINT)
           AS shard_idx
       FROM toks
     """,
