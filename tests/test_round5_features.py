@@ -1102,3 +1102,39 @@ def test_validation_evidence_commit_crash_leaves_feed_retryable(spark, tmp_path)
     table._commit_manifest = real_commit
     rec = feed.validate_now()
     assert not rec["ok"] and rec["evidence"]
+
+
+def test_fix_sql_statements_exact_shapes(spark):
+    """The fix-SQL artifact must match the reference's statement shapes
+    (GenerateReplaceDML / GenerateDeleteDML, sync_diff_inspector/utils/
+    utils.go:193-218,297-321): REPLACE with every column and NULL
+    literals, DELETE keyed by the downstream row's own values with
+    `is NULL` predicates and LIMIT 1, quotes doubled."""
+    from tiflow_spark.operators.validate import fix_sql_statements
+
+    expected = spark.createDataFrame(
+        [("c1", 0, "user", "it's fine"), ("c2", 1, None, "keep")],
+        "conv_id STRING, turn_idx INT, role STRING, text STRING",
+    )
+    actual = spark.createDataFrame(
+        [("c2", 1, None, "keep"), ("ghost", 9, "x", None)],
+        "conv_id STRING, turn_idx INT, role STRING, text STRING",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in fix_sql_statements(
+            expected, actual, ["conv_id", "turn_idx"], ["role", "text"],
+            schema="test", table="transcripts",
+        ).collect()
+    }
+    assert set(out) == {"c1", "ghost"}  # the identical c2 row emits nothing
+    assert out["c1"]["op"] == "I"
+    assert out["c1"]["fix_sql"] == (
+        "REPLACE INTO `test`.`transcripts`(`conv_id`,`turn_idx`,`role`,"
+        "`text`) VALUES ('c1',0,'user','it''s fine');"
+    )
+    assert out["ghost"]["op"] == "D"
+    assert out["ghost"]["fix_sql"] == (
+        "DELETE FROM `test`.`transcripts` WHERE `conv_id` = 'ghost' AND "
+        "`turn_idx` = 9 AND `role` = 'x' AND `text` is NULL LIMIT 1;"
+    )

@@ -152,22 +152,16 @@ def diff_tables(
     return DiffResult(n_chunks=n_chunks, mismatched_chunks=sorted(bad), row_diffs=row_diffs)
 
 
-def make_repair_batch(
+def _diff_join(
     expected: DataFrame,
     actual: DataFrame,
     key_cols: list[str],
     data_cols: list[str],
-    repair_ts: int,
 ) -> DataFrame:
-    """The sync_diff fix-SQL analog (/root/reference/sync_diff_inspector/
-    checkpoints + the generated fix.sql): a change batch that, merged into
-    the table behind ``actual``, makes it equal ``expected``.
-
-    Set-wise (one full-outer key join, no driver loop):
-    - key in expected, absent or different in actual → INSERT expected row;
-    - key only in actual → DELETE.
-    Versioned at ``repair_ts``, which must exceed every commit_ts in the
-    table so the version-conditional merge lets repairs win."""
+    """Set-wise diff shared by ``make_repair_batch`` and
+    ``fix_sql_statements``: one full-outer key join filtered to differing
+    keys. Expected's data columns keep their names; actual's are prefixed
+    ``_a_``; ``_e``/``_a`` mark side presence."""
     e = expected.select(
         *key_cols, *data_cols, F.lit(True).alias("_e")
     ).alias("e")
@@ -177,13 +171,32 @@ def make_repair_batch(
         F.lit(True).alias("_a"),
     ).alias("a")
     joined = e.join(a, on=key_cols, how="full_outer")
-
     differs = F.col("_e").isNull() | F.col("_a").isNull()
     for c in data_cols:
         differs = differs | ~F.col(c).eqNullSafe(F.col(f"_a_{c}"))
+    return joined.filter(differs)
 
+
+def make_repair_batch(
+    expected: DataFrame,
+    actual: DataFrame,
+    key_cols: list[str],
+    data_cols: list[str],
+    repair_ts: int,
+) -> DataFrame:
+    """The sync_diff repair analog as a CHANGE BATCH (/root/reference/
+    sync_diff_inspector/checkpoints + the generated fix.sql): a batch
+    that, merged into the table behind ``actual``, makes it equal
+    ``expected``. (``fix_sql_statements`` emits the reference's literal
+    SQL-text artifact instead.)
+
+    Set-wise (one full-outer key join, no driver loop):
+    - key in expected, absent or different in actual → INSERT expected row;
+    - key only in actual → DELETE.
+    Versioned at ``repair_ts``, which must exceed every commit_ts in the
+    table so the version-conditional merge lets repairs win."""
     return (
-        joined.filter(differs)
+        _diff_join(expected, actual, key_cols, data_cols)
         .select(
             F.when(F.col("_e").isNull(), F.lit("D")).otherwise(F.lit("I")).alias("op"),
             F.lit(repair_ts).cast("long").alias("commit_ts"),
@@ -192,6 +205,81 @@ def make_repair_batch(
             *key_cols,
             *data_cols,
         )
+    )
+
+
+def fix_sql_statements(
+    expected: DataFrame,
+    actual: DataFrame,
+    key_cols: list[str],
+    data_cols: list[str],
+    schema: str = "db",
+    table: str = "tbl",
+) -> DataFrame:
+    """sync_diff's fix-SQL artifact, set-wise: one SQL statement string
+    per differing key (reference GenerateReplaceDML /
+    /root/reference/sync_diff_inspector/utils/utils.go:193-218 and
+    GenerateDeleteDML / utils.go:297-321):
+
+    - expected-side row missing or different downstream →
+      ``REPLACE INTO `schema`.`tbl`(`c`,...) VALUES (...);`` with the
+      expected values (all columns, NULL literal for nulls);
+    - downstream-only row → ``DELETE FROM `schema`.`tbl` WHERE `c` = v
+      AND `c2` is NULL ... LIMIT 1;`` built from the downstream row's own
+      values, every column in the predicate, exactly the reference shape.
+
+    String literals escape single quotes by doubling (ANSI; the reference
+    targets MySQL's escapeString — backslash escaping is out of scope for
+    this artifact and documented here). Emits (key_cols..., op, fix_sql);
+    the whole construction is one JVM projection over the shared
+    ``_diff_join`` — no driver loop, no extra shuffle beyond the diff's
+    own key join."""
+    string_cols = {
+        f.name for f in expected.select(*key_cols, *data_cols).schema.fields
+        if f.dataType.simpleString() == "string"
+    }
+
+    def lit_value(col, name):
+        if name in string_cols:
+            quoted = F.concat(
+                F.lit("'"), F.regexp_replace(col, "'", "''"), F.lit("'")
+            )
+        else:
+            quoted = col.cast("string")
+        return F.when(col.isNull(), F.lit("NULL")).otherwise(quoted)
+
+    cols = [*key_cols, *data_cols]
+    target = f"`{schema}`.`{table}`"
+    col_list = ",".join(f"`{c}`" for c in cols)
+    replace_vals = [
+        lit_value(F.col(c), c) for c in cols
+    ]
+    replace_sql = F.concat(
+        F.lit(f"REPLACE INTO {target}({col_list}) VALUES ("),
+        F.concat_ws(",", *replace_vals),
+        F.lit(");"),
+    )
+
+    def where_kv(col, name):
+        return F.when(
+            col.isNull(), F.lit(f"`{name}` is NULL")
+        ).otherwise(F.concat(F.lit(f"`{name}` = "), lit_value(col, name)))
+
+    delete_kvs = [where_kv(F.col(c), c) for c in key_cols] + [
+        where_kv(F.col(f"_a_{c}"), c) for c in data_cols
+    ]
+    delete_sql = F.concat(
+        F.lit(f"DELETE FROM {target} WHERE "),
+        F.concat_ws(" AND ", *delete_kvs),
+        F.lit(" LIMIT 1;"),
+    )
+
+    return _diff_join(expected, actual, key_cols, data_cols).select(
+        *key_cols,
+        F.when(F.col("_e").isNull(), F.lit("D")).otherwise(F.lit("I")).alias("op"),
+        F.when(F.col("_e").isNull(), delete_sql)
+        .otherwise(replace_sql)
+        .alias("fix_sql"),
     )
 
 

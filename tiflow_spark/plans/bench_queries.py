@@ -958,13 +958,12 @@ def q_cdc_change_data_feed(spark, sf_dir):
     return cdf.select("op", "commit_ts", "conv_id", "turn_idx", "role", "text", "tool")
 
 
-def q_cdc_repair_batch(spark, sf_dir):
-    """sync_diff fix generation under the oracle: expected = LWW final
-    state; actual = expected with a deterministic corruption (every conv
-    ending in '3' dropped, every turn_idx 7 mutated, a phantom key added);
-    output = the correcting change batch (full-outer key diff)."""
-    from tiflow_spark.operators.validate import make_repair_batch
-
+def _repair_scenario(spark, sf_dir):
+    """Shared sync-diff corruption scenario: expected = LWW final state;
+    actual = expected with every conv ending in '3' dropped, every
+    turn_idx 7 mutated, and a phantom key added. Used by both the
+    change-batch and the fix-SQL artifact queries (kept in lockstep with
+    the repair-scenario CTEs in the oracle SQL)."""
     ce = change_events(spark, sf_dir)
     expected = (
         lww_latest(ce).filter(F.col("op") != "D")
@@ -983,10 +982,37 @@ def q_cdc_repair_batch(spark, sf_dir):
             )
         )
     )
+    return expected, actual
+
+
+def q_cdc_repair_batch(spark, sf_dir):
+    """sync_diff fix generation under the oracle: output = the correcting
+    change batch (full-outer key diff) for the shared corruption
+    scenario."""
+    from tiflow_spark.operators.validate import make_repair_batch
+
+    expected, actual = _repair_scenario(spark, sf_dir)
     return make_repair_batch(
         expected, actual, key_cols=["conv_id", "turn_idx"],
         data_cols=["role", "text"], repair_ts=9_000_000,
     ).select("op", "commit_ts", "conv_id", "turn_idx", "role", "text")
+
+
+def q_cdc_fix_sql(spark, sf_dir):
+    """sync_diff's literal fix-SQL text artifact under the oracle
+    (reference GenerateReplaceDML / GenerateDeleteDML,
+    /root/reference/sync_diff_inspector/utils/utils.go:193-218,297-321):
+    same corruption scenario as cdc_repair_batch, but the output is the
+    REPLACE INTO / DELETE FROM statement strings an operator would apply
+    on a MySQL-compatible downstream — byte-for-byte identical to the
+    DuckDB oracle's string construction, pinning quoting/NULL/escaping."""
+    from tiflow_spark.operators.validate import fix_sql_statements
+
+    expected, actual = _repair_scenario(spark, sf_dir)
+    return fix_sql_statements(
+        expected, actual, key_cols=["conv_id", "turn_idx"],
+        data_cols=["role", "text"], schema="test", table="transcripts",
+    )
 
 
 def q_cdc_bdr_filter(spark, sf_dir):
@@ -1412,6 +1438,7 @@ QUERIES = {
     "cdc_debezium_encode": q_cdc_debezium_encode,
     "cdc_maxwell_encode": q_cdc_maxwell_encode,
     "cdc_repair_batch": q_cdc_repair_batch,
+    "cdc_fix_sql": q_cdc_fix_sql,
     "cdc_binlog_filter": q_cdc_binlog_filter,
     "cdc_route_tables": q_cdc_route_tables,
     "cdc_online_ddl": q_cdc_online_ddl,
@@ -1753,6 +1780,44 @@ _PREIMAGE_FILTER_SQL = f"""
 """
 
 
+def _SQLSTR(col: str) -> str:
+    """DuckDB expression for a single-quoted SQL string literal of ``col``
+    with quotes doubled — must stay byte-identical to
+    operators/validate.fix_sql_statements' lit_value."""
+    return f"'''' || replace({col}, '''', '''''') || ''''"
+
+
+# Shared corruption scenario for the sync-diff artifact oracles
+# (cdc_repair_batch and cdc_fix_sql) — kept in lockstep with
+# _repair_scenario() above.
+_REPAIR_SCENARIO_SQL = f"""
+      exp AS ({_LWW_SQL}),
+      expected AS (SELECT conv_id, turn_idx, role, text FROM exp),
+      actual AS (
+        SELECT conv_id, turn_idx, role,
+               CASE WHEN turn_idx = 7 THEN 'CORRUPT' ELSE text END AS text
+        FROM expected WHERE conv_id NOT LIKE '%3'
+        UNION ALL
+        SELECT 'zz_phantom', 0, 'ghost', 'ghost'
+      ),
+      j AS (
+        SELECT coalesce(e.conv_id, a.conv_id) AS conv_id,
+               coalesce(e.turn_idx, a.turn_idx) AS turn_idx,
+               e.role AS e_role, e.text AS e_text,
+               a.role AS a_role, a.text AS a_text,
+               e.conv_id IS NOT NULL AS in_e, a.conv_id IS NOT NULL AS in_a
+        FROM expected e FULL OUTER JOIN actual a
+          ON e.conv_id = a.conv_id AND e.turn_idx = a.turn_idx
+      ),
+      diff AS (
+        SELECT * FROM j
+        WHERE NOT in_e OR NOT in_a
+           OR e_role IS DISTINCT FROM a_role
+           OR e_text IS DISTINCT FROM a_text
+      )
+"""
+
+
 ORACLES = {
     "cdc_lww_final_state": _LWW_SQL,
     "cdc_lww_salted": _LWW_SQL,
@@ -2021,30 +2086,40 @@ ORACLES = {
     # corruption (convs ending '3' dropped, turn 7 mutated, phantom key);
     # full-outer key diff -> I rows for missing/differing, D for phantoms
     "cdc_repair_batch": f"""
-      WITH exp AS ({_LWW_SQL.replace("val, commit_ts", "val, commit_ts")}),
-      expected AS (SELECT conv_id, turn_idx, role, text FROM exp),
-      actual AS (
-        SELECT conv_id, turn_idx, role,
-               CASE WHEN turn_idx = 7 THEN 'CORRUPT' ELSE text END AS text
-        FROM expected WHERE conv_id NOT LIKE '%3'
-        UNION ALL
-        SELECT 'zz_phantom', 0, 'ghost', 'ghost'
-      ),
-      j AS (
-        SELECT coalesce(e.conv_id, a.conv_id) AS conv_id,
-               coalesce(e.turn_idx, a.turn_idx) AS turn_idx,
-               e.role AS e_role, e.text AS e_text,
-               a.role AS a_role, a.text AS a_text,
-               e.conv_id IS NOT NULL AS in_e, a.conv_id IS NOT NULL AS in_a
-        FROM expected e FULL OUTER JOIN actual a
-          ON e.conv_id = a.conv_id AND e.turn_idx = a.turn_idx
-      )
+      WITH {_REPAIR_SCENARIO_SQL}
       SELECT CASE WHEN NOT in_e THEN 'D' ELSE 'I' END AS op,
              CAST(9000000 AS BIGINT) AS commit_ts,
              conv_id, turn_idx, e_role AS role, e_text AS text
-      FROM j
-      WHERE NOT in_e OR NOT in_a
-         OR e_role IS DISTINCT FROM a_role OR e_text IS DISTINCT FROM a_text
+      FROM diff
+    """,
+    # the literal fix-SQL strings: REPLACE from expected values, DELETE
+    # keyed by the downstream row's own values, every column in the
+    # predicate (GenerateReplaceDML/GenerateDeleteDML shapes)
+    "cdc_fix_sql": f"""
+      WITH {_REPAIR_SCENARIO_SQL}
+      SELECT conv_id, turn_idx,
+        CASE WHEN NOT in_e THEN 'D' ELSE 'I' END AS op,
+        CASE WHEN NOT in_e THEN
+          'DELETE FROM `test`.`transcripts` WHERE ' ||
+          '`conv_id` = ' || {_SQLSTR("conv_id")} || ' AND ' ||
+          '`turn_idx` = ' || CAST(turn_idx AS VARCHAR) || ' AND ' ||
+          CASE WHEN a_role IS NULL THEN '`role` is NULL'
+               ELSE '`role` = ' || {_SQLSTR("a_role")} END || ' AND ' ||
+          CASE WHEN a_text IS NULL THEN '`text` is NULL'
+               ELSE '`text` = ' || {_SQLSTR("a_text")} END ||
+          ' LIMIT 1;'
+        ELSE
+          'REPLACE INTO `test`.`transcripts`' ||
+          '(`conv_id`,`turn_idx`,`role`,`text`) VALUES (' ||
+          {_SQLSTR("conv_id")} || ',' ||
+          CAST(turn_idx AS VARCHAR) || ',' ||
+          CASE WHEN e_role IS NULL THEN 'NULL'
+               ELSE {_SQLSTR("e_role")} END || ',' ||
+          CASE WHEN e_text IS NULL THEN 'NULL'
+               ELSE {_SQLSTR("e_text")} END ||
+          ');'
+        END AS fix_sql
+      FROM diff
     """,
     # ordered binlog rules: (1) ignore D on app_*, (2) ignore all tmp_*,
     # (3) do I on app_logs; first full match decides; a table no rule
