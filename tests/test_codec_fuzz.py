@@ -10,8 +10,9 @@ reference runs the same posture per codec (e.g.
 here one generator covers the whole family, so an escaping bug in any
 envelope shows up as a concrete field diff.
 
-CSV is excluded by design: the codec documents the unquoted simple-case
-boundary (commas/newlines in text are out of contract).
+The CSV leg found a real edge on first run: an unquoted empty field
+parses as NULL, conflating '' with the \\N sentinel — fixed by quoting
+empty strings in _csv_field.
 """
 
 import random
@@ -169,3 +170,16 @@ def test_fuzz_craft(spark, fuzz):
     )
     dec = codecs.craft_decode(codecs.craft_encode(frame), out_schema)
     _assert_matches(dec, src, "craft")
+
+
+def test_fuzz_csv(spark, fuzz):
+    """CSV with RFC-4180 quoting must round-trip the same nasty inputs as
+    the JSON/binary codecs (commas, quotes, newlines, CJK; the \\N null
+    sentinel vs literal '\\N'-shaped data)."""
+    frame, src = fuzz
+    csv_schema = T.StructType(
+        [f for f in VALUE_SCHEMA.fields if f.name != "score"]
+        + [T.StructField("score", T.LongType())]
+    )
+    dec = codecs.csv_decode(codecs.csv_encode(frame), csv_schema)
+    _assert_matches(dec, src, "csv")

@@ -55,10 +55,9 @@ def test_open_protocol_round_trip(spark, decoded):
 
 
 def test_csv_round_trip(spark, decoded):
-    # commas inside text break naive CSV split — exclude that row (the
-    # reference csv codec quotes; ours documents the simple-case boundary)
-    simple = decoded.filter(F.col("text").isNull() | ~F.col("text").contains(","))
-    enc = codecs.csv_encode(simple)
+    # commas/quotes/newlines round-trip via RFC-4180 quoting since round 2
+    # (exhaustively exercised in test_codec_fuzz.py) — no filtering needed
+    enc = codecs.csv_encode(decoded)
     dec = codecs.csv_decode(enc, VALUE_SCHEMA)
     got = {(r["conv_id"], r["turn_idx"]): (r["op"], r["text"], r["tool"])
            for r in dec.collect()}

@@ -121,7 +121,12 @@ def _csv_field(col: Column) -> Column:
     quoting alone cannot disambiguate (decode strips the backslash back)."""
     s = col.cast("string")
     s = F.when(s.rlike(r"^\\+N$"), F.concat(F.lit("\\"), s)).otherwise(s)
-    needs = s.contains(",") | s.contains('"') | s.contains("\n") | s.contains("\r")
+    # empty string must quote too: an unquoted empty field parses as NULL,
+    # silently conflating '' with the \N sentinel (found by the codec fuzz)
+    needs = (
+        s.contains(",") | s.contains('"') | s.contains("\n")
+        | s.contains("\r") | (F.length(s) == 0)
+    )
     quoted = F.concat(F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"'))
     return F.coalesce(F.when(needs, quoted).otherwise(s), F.lit(r"\N"))
 
