@@ -141,3 +141,124 @@ def test_dict_source_and_defaults():
         ]}}
     )
     assert cfg2.mq_kwargs("t1")["dispatch"] == "table"
+
+
+# -------------------------------------------------- config-driven live feed
+
+EV_SCHEMA = (
+    "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, turn_idx INT, "
+    "schema_version LONG, payload STRING, pre_payload STRING, "
+    "source_partition INT"
+)
+
+
+def _ev(op, cts, conv, text, ver=1):
+    return (op, cts, cts - 1, conv, 0, ver,
+            None if op == "D" else f'{{"role":"u","text":"{text}"}}',
+            None, 0)
+
+
+def test_config_drives_multi_table_feed(spark, tmp_path):
+    """A changefeed config applied to the REAL runner: the [filter] rules
+    drop an entire table, a matched event-filter ignores deletes and
+    expr-matched inserts, and unmatched tables replicate untouched."""
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    cfg = load_changefeed_config({
+        "filter": {
+            "rules": ["t_*", "!t_skip"],
+            "event-filters": [{
+                "matcher": ["t_keep"],
+                "ignore-event": ["delete"],
+                "ignore-insert-value-expr": "text = 'spam'",
+            }],
+        },
+    })
+    rows = [
+        (*_ev("I", 10, "a", "hello"), "t_keep"),
+        (*_ev("I", 20, "b", "spam"), "t_keep"),     # expr-ignored
+        (*_ev("D", 30, "a", None), "t_keep"),       # op-ignored: a survives
+        (*_ev("U", 40, "c", "upd"), "t_keep"),
+        (*_ev("I", 10, "x", "dropped"), "t_skip"),  # table-filtered
+        (*_ev("I", 10, "y", "plain"), "t_other"),   # no rule matches: as-is
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows, EV_SCHEMA + ", table_name STRING").coalesce(
+        1).write.parquet(events_dir)
+    reg = [SchemaVersion(1, 0, PAYLOAD_V1)]
+    tables = {
+        n: (CowTable(spark, str(tmp_path / n), n_buckets=2), reg)
+        for n in ("t_keep", "t_skip", "t_other")
+    }
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tables=tables, config=cfg,
+    )
+    feed.run_available_now()
+    keep = {r["conv_id"]: r["text"]
+            for r in tables["t_keep"][0].snapshot().collect()}
+    assert keep == {"a": "hello", "c": "upd"}
+    assert tables["t_skip"][0].snapshot().count() == 0
+    other = {r["conv_id"]: r["text"]
+             for r in tables["t_other"][0].snapshot().collect()}
+    assert other == {"y": "plain"}
+
+
+def test_config_all_ddl_ignore_skips_schema_evolution(spark, tmp_path):
+    """'all ddl' in ignore-event drops op='DDL' rows BEFORE registration,
+    so the sink schema never evolves — the reference's DDL-filter
+    semantics, not just row suppression."""
+    import json
+
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.registry import (
+        PAYLOAD_V1, PAYLOAD_V2, SchemaVersion,
+    )
+    from tiflow_spark.streaming.runner import Changefeed
+
+    cfg = load_changefeed_config({
+        "filter": {"event-filters": [{
+            "matcher": ["transcripts"], "ignore-event": ["all ddl"],
+        }]},
+    })
+    ddl_payload = json.dumps(
+        SchemaVersion(2, 15, PAYLOAD_V2).schema.jsonValue()
+    )
+    rows = [
+        _ev("I", 10, "a", "one"),
+        ("DDL", 15, 14, "ddl", 0, 2, ddl_payload, None, 0),
+        _ev("I", 20, "b", "two"),
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        events_dir)
+    table = CowTable(spark, str(tmp_path / "t"), n_buckets=2)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), table=table,
+        registry=[SchemaVersion(1, 0, PAYLOAD_V1)],
+        ddl_in_stream=True, config=cfg,
+    )
+    feed.run_available_now()
+    assert {r["conv_id"] for r in table.snapshot().collect()} == {"a", "b"}
+    # v2's 'tool' column never registered nor reached the sink schema
+    assert len(feed.registry) == 1
+    assert "tool" not in table.snapshot().columns
+
+
+def test_config_excluding_the_only_table_is_rejected(spark, tmp_path):
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    cfg = load_changefeed_config({"filter": {"rules": ["other_*"]}})
+    with pytest.raises(ValueError, match="only table"):
+        Changefeed(
+            spark=spark, events_dir=str(tmp_path / "e"),
+            checkpoint_dir=str(tmp_path / "c"),
+            table=CowTable(spark, str(tmp_path / "t"), n_buckets=2),
+            registry=[SchemaVersion(1, 0, PAYLOAD_V1)], config=cfg,
+        )

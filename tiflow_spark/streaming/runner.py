@@ -145,8 +145,28 @@ class Changefeed:
     # where job-scheduling latency dominates, see pipeline.py measurements)
     frontier_mode: str = "scan"
     batch_log: list = field(default_factory=list)  # (batch_id, [name,] MergeStats)
+    # changefeed.toml surface (config.load_changefeed_config): the table
+    # filter and event-filter rules apply IN-FEED — op/txn/DDL ignores on
+    # the raw stream (before DDL registration, so 'all ddl' ignores skip
+    # schema evolution too, the reference's ddl-filter semantics), value
+    # exprs on a decode projection after the DLQ split (an undecodable row
+    # can't be expr-filtered; it quarantines first). Dispatchers/column
+    # selectors/protocol feed the MQ path via config.mq_kwargs. For
+    # single-table feeds, ``config_table`` is the identity the config's
+    # matchers resolve against; routed multi-table feeds resolve
+    # event-filter matchers on the post-route target name and the table
+    # filter on the upstream name (DM filters upstream of routing).
+    config: object | None = None
+    config_table: str = "transcripts"
 
     def __post_init__(self) -> None:
+        if self.config is not None and self.tables is None:
+            if self.config.table_filter.should_ignore(self.config_table):
+                raise ValueError(
+                    f"config's [filter] rules exclude {self.config_table!r}"
+                    " — the feed's only table; an always-empty changefeed "
+                    "is a config error"
+                )
         if self.tables is not None and self.registry_path is not None:
             # one persisted registry shared by N tables would interleave
             # every table's DDL versions into every other table's registry
@@ -330,10 +350,60 @@ class Changefeed:
             {"dlq": list(m.get("dlq") or []) + [rel]},
         )
 
+    def _filter_raw(self, batch: DataFrame, rules: list) -> DataFrame:
+        """The raw-evaluable parts of the config's event filters: op kinds
+        (incl. 'DDL') and ignore-txn-start-ts. No decode needed."""
+        drop = F.lit(False)
+        for r in rules:
+            if r.ignore_ops:
+                drop = drop | F.col("op").isin(*r.ignore_ops)
+            if r.ignore_txn_start_ts:
+                drop = drop | F.col("start_ts").isin(*r.ignore_txn_start_ts)
+        return batch.filter(~drop)
+
+    def _filter_value_exprs(
+        self, batch: DataFrame, registry: list[SchemaVersion], rules: list
+    ) -> DataFrame:
+        """The decoded-row predicates of the config's event filters,
+        evaluated over a decode PROJECTION of the raw batch (decode_payload
+        keeps every original column, so the filtered frame projects back to
+        the raw shape and apply_epoch decodes as usual — Catalyst collapses
+        the two decodes into one codegen stage over the persisted batch)."""
+        import dataclasses
+
+        from tiflow_spark.functions.decode import (
+            decode_payload, decode_pre_image,
+        )
+        from tiflow_spark.operators.filters import keep_predicate
+
+        expr_rules = [
+            dataclasses.replace(
+                r, ignore_ops=frozenset(), ignore_txn_start_ts=frozenset()
+            )
+            for r in rules
+            if r.ignore_insert_expr or r.ignore_update_new_expr
+            or r.ignore_update_old_expr or r.ignore_delete_expr
+        ]
+        if not expr_rules:
+            return batch
+        aug = decode_payload(batch, registry)
+        if any(r.ignore_update_old_expr for r in expr_rules):
+            aug = decode_pre_image(aug, registry)
+        keep = F.lit(True)
+        for r in expr_rules:
+            keep = keep & keep_predicate(r)
+        return aug.filter(keep).select(*batch.columns)
+
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
             if self.tables is None:
+                cfg_rules = (
+                    self.config.rules_for(self.config_table)
+                    if self.config is not None else []
+                )
+                if cfg_rules:
+                    batch = self._filter_raw(batch, cfg_rules)
                 registry = self._current_registry()
                 if self.ddl_in_stream:
                     registry, batch_dml = self._apply_ddls(
@@ -347,6 +417,10 @@ class Changefeed:
                 if self.dead_letter:
                     batch_dml, dlq_extra = self._dead_letter_split(
                         batch_dml, registry, self.table, int(batch_id)
+                    )
+                if cfg_rules:
+                    batch_dml = self._filter_value_exprs(
+                        batch_dml, registry, cfg_rules
                     )
                 self._evolve_sink_schema(self.table, registry)
                 res = apply_epoch(
@@ -363,6 +437,23 @@ class Changefeed:
                         self._batches_since_validation = 0
                         self.validate_now()
             else:
+                tf = self.config.table_filter if self.config is not None else None
+                if tf is not None and (
+                    tf.include != ("*",) or tf.exclude
+                ):
+                    # upstream (pre-route) names, DM block-allow semantics;
+                    # driver-side over the small distinct table set. DDL
+                    # rows of an excluded table drop with it.
+                    names = [
+                        r[0] for r in
+                        batch.select(self.table_col).distinct().collect()
+                    ]
+                    kept = [
+                        t for t in names
+                        if t is not None and not tf.should_ignore(t)
+                    ]
+                    if len(kept) != len(names):
+                        batch = batch.filter(F.col(self.table_col).isin(kept))
                 if self.online_ddl:
                     from tiflow_spark.operators.filters import apply_online_ddl
 
@@ -407,6 +498,12 @@ class Changefeed:
                 for name in sorted(self.tables):
                     tbl, reg = self.tables[name]
                     sub = batch.filter(F.col(self.table_col) == name)
+                    cfg_rules = (
+                        self.config.rules_for(name)
+                        if self.config is not None else []
+                    )
+                    if cfg_rules:
+                        sub = self._filter_raw(sub, cfg_rules)
                     if self.ddl_in_stream:
                         # per-table DDL barrier: register this table's DDLs
                         # against ITS registry, then drop the DDL rows so
@@ -423,6 +520,8 @@ class Changefeed:
                         )
                         if dlq_extra is not None:
                             extra = {**(extra or {}), **dlq_extra}
+                    if cfg_rules:
+                        sub = self._filter_value_exprs(sub, reg, cfg_rules)
                     res = apply_epoch(
                         tbl, reg, sub, int(batch_id), decoder=self.decoder,
                         strict_frontier=self.strict_frontier,
