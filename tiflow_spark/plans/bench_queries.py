@@ -537,6 +537,55 @@ def q_cdc_dlq_skip(spark, sf_dir):
     return table.snapshot().select(*_SNAPSHOT_COLS)
 
 
+def q_cdc_config_feed(spark, sf_dir):
+    """The changefeed.toml layer under the driver oracle: a multi-table
+    feed driven by a loaded config — [filter] rules exclude the 'odd'
+    table entirely, a matched event-filter ignores deletes and
+    expr-matched inserts on 'even' — through the REAL streaming runner.
+    The snapshot union must equal the LWW oracle over the events the
+    config keeps (tiflow_spark/config.py; reference
+    pkg/config/replica_config.go + pkg/filter)."""
+    from tiflow_spark.config import load_changefeed_config
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.streaming.runner import Changefeed
+
+    cfg = load_changefeed_config({
+        "filter": {
+            "rules": ["even"],
+            "event-filters": [{
+                "matcher": ["even"],
+                "ignore-event": ["delete"],
+                "ignore-insert-value-expr": "turn_idx % 3 = 0",
+            }],
+        },
+    })
+    ce = change_events_payload(spark, sf_dir).withColumn(
+        "table_name",
+        F.when(F.col("source_partition") % 2 == 0, "even").otherwise("odd"),
+    )
+    registry = _pipeline_registry()
+    root = _scratch_root(sf_dir + "#cfgfeed", "tiflow_cfgfeed_q_")
+    ce.write.parquet(f"{root}/events")
+    schema = {"role": "string", "text": "string", "tool": "string"}
+    tables = {
+        n: (CowTable(spark, f"{root}/t_{n}", n_buckets=8, data_schema=schema),
+            registry)
+        for n in ("even", "odd")
+    }
+    feed = Changefeed(
+        spark=spark, events_dir=f"{root}/events",
+        checkpoint_dir=f"{root}/ckpt", tables=tables,
+        max_files_per_trigger=1000, event_schema=ce.schema, config=cfg,
+    )
+    feed.run_available_now()
+    outs = [
+        tables[n][0].snapshot().select(*_SNAPSHOT_COLS)
+        .withColumn("tbl", F.lit(n))
+        for n in ("even", "odd")  # 'odd' MUST be empty (table filter)
+    ]
+    return outs[0].unionByName(outs[1])
+
+
 def q_cdc_ddl_stream(spark, sf_dir):
     """DDL puller + barrier + sink DDL execution under the driver oracle
     (/root/reference/cdc/owner/ddl_puller.go:190-302, barrier.go:22-47,
@@ -1425,6 +1474,7 @@ QUERIES = {
     "cdc_streaming_e2e": q_cdc_streaming_e2e,
     "cdc_dlq_replace": q_cdc_dlq_replace,
     "cdc_dlq_skip": q_cdc_dlq_skip,
+    "cdc_config_feed": q_cdc_config_feed,
     "cdc_ddl_stream": q_cdc_ddl_stream,
     "cdc_lineage_metrics": q_cdc_lineage_metrics,
     "cdc_validated_stream": q_cdc_validated_stream,
@@ -1889,6 +1939,29 @@ ORACLES = {
     # replace re-applies corrected events at their original commit_ts, so
     # the end state is indistinguishable from a never-poisoned feed
     "cdc_dlq_replace": _PIPELINE_SNAPSHOT_SQL,
+    # config-driven feed: 'odd' table excluded by [filter] rules; on
+    # 'even', deletes and turn_idx%3==0 inserts are config-ignored BEFORE
+    # the LWW — the oracle ranks over exactly the kept events
+    "cdc_config_feed": f"""
+      WITH ce AS ({CE_PAYLOAD_SQL}),
+      kept AS (
+        SELECT * FROM ce
+        WHERE source_partition % 2 = 0
+          AND op <> 'D'
+          AND NOT (op = 'I' AND turn_idx % 3 = 0)),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY commit_ts DESC, start_ts DESC, {OP_ORDER_SQL} DESC) AS rn
+        FROM kept)
+      SELECT conv_id, turn_idx,
+             json_extract_string(payload, '$.role') AS role,
+             json_extract_string(payload, '$.text') AS text,
+             CASE WHEN schema_version >= 2
+                  THEN json_extract_string(payload, '$.tool') END AS tool,
+             'even' AS tbl
+      FROM ranked WHERE rn = 1
+    """,
     # skip drops the quarantined events permanently: LWW over clean rows
     "cdc_dlq_skip": f"""
       WITH ce AS ({CE_PAYLOAD_SQL}),
