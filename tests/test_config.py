@@ -262,3 +262,142 @@ def test_config_excluding_the_only_table_is_rejected(spark, tmp_path):
             table=CowTable(spark, str(tmp_path / "t"), n_buckets=2),
             registry=[SchemaVersion(1, 0, PAYLOAD_V1)], config=cfg,
         )
+
+
+# ------------------------------------------------------------ DM task.yaml
+
+DM_TASK = """
+name: shard-merge-task
+task-mode: all
+
+mysql-instances:
+  - source-id: "mysql-replica-01"
+    route-rules: ["merge-t"]
+    filter-rules: ["no-deletes"]
+    block-allow-list: "only-sharding"
+    expression-filters: ["skip-bot"]
+
+routes:
+  merge-t:
+    schema-pattern: "sharding*"
+    table-pattern: "t_*"
+    target-schema: "merged"
+    target-table: "t"
+
+filters:
+  no-deletes:
+    schema-pattern: "sharding*"
+    table-pattern: "t_*"
+    events: ["delete"]
+    action: Ignore
+
+block-allow-list:
+  only-sharding:
+    do-dbs: ["sharding*"]
+    ignore-tables:
+      - db-name: "sharding_1"
+        tbl-name: "t_quarantined"
+
+expression-filter:
+  skip-bot:
+    schema: "merged"
+    table: "t"
+    insert-value-expr: "role = 'bot'"
+"""
+
+
+def test_dm_task_loader_maps_rules():
+    from tiflow_spark.config import load_dm_task
+
+    task = load_dm_task(DM_TASK)
+    src = task.source("mysql-replica-01")
+
+    # block-allow: sharding dbs in, other dbs and the ignored table out
+    assert not src.table_filter.should_ignore("sharding_1.t_1")
+    assert src.table_filter.should_ignore("other.t_1")
+    assert src.table_filter.should_ignore("sharding_1.t_quarantined")
+
+    # route: shard tables merge into the dotted target
+    assert len(src.route_rules) == 1
+    r = src.route_rules[0]
+    assert r.target == "merged.t"
+    import re
+    assert re.match(r.table_regex, "sharding_1.t_2")
+    assert not re.match(r.table_regex, "merged.t")
+
+    # binlog ladder: Ignore deletes on the shard tables
+    assert src.binlog_rules[0].events == frozenset({"D"})
+    assert src.binlog_rules[0].action == "ignore"
+
+    # expression filter resolves on the routed target identity
+    assert src.rules_for("merged.t")[0].ignore_insert_expr == "role = 'bot'"
+    assert src.rules_for("elsewhere") == []
+
+    with pytest.raises(ValueError, match="no mysql-instance"):
+        task.source("nope")
+
+
+def test_dm_task_loader_fails_loudly():
+    from tiflow_spark.config import load_dm_task
+
+    with pytest.raises(ValueError, match="unsupported DM task keys"):
+        load_dm_task({"name": "x", "shadow-mode": True})
+    with pytest.raises(ValueError, match="unknown route rule"):
+        load_dm_task({
+            "name": "x",
+            "mysql-instances": [
+                {"source-id": "s", "route-rules": ["ghost"]}
+            ],
+        })
+    with pytest.raises(ValueError, match="fine-grained"):
+        load_dm_task({
+            "name": "x",
+            "filters": {"f": {"table-pattern": "t", "events": ["drop table"]}},
+            "mysql-instances": [{"source-id": "s", "filter-rules": ["f"]}],
+        })
+    with pytest.raises(ValueError, match="glob"):
+        load_dm_task({
+            "name": "x",
+            "block-allow-list": {"b": {"do-dbs": ["~^test.*"]}},
+            "mysql-instances": [
+                {"source-id": "s", "block-allow-list": "b"}
+            ],
+        })
+
+
+def test_dm_task_drives_shard_merge_feed(spark, tmp_path):
+    """The DM bundle runs the REAL runner: two shard tables merge into one
+    target, the block-allow list drops a foreign db, the binlog ladder
+    ignores deletes, and the expression filter skips bot inserts."""
+    from tiflow_spark.config import load_dm_task
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    src = load_dm_task(DM_TASK).source("mysql-replica-01")
+
+    def ev(op, cts, conv, text, role="u"):
+        return (op, cts, cts - 1, conv, 0, 1,
+                None if op == "D"
+                else f'{{"role":"{role}","text":"{text}"}}', None, 0)
+
+    rows = [
+        (*ev("I", 10, "a", "one"), "sharding_1.t_1"),
+        (*ev("I", 20, "b", "two"), "sharding_2.t_9"),
+        (*ev("D", 30, "a", None), "sharding_1.t_1"),        # binlog-ignored
+        (*ev("I", 40, "c", "spam", role="bot"), "sharding_1.t_2"),  # expr
+        (*ev("I", 50, "z", "foreign"), "other.t_1"),        # block-allow
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows, EV_SCHEMA + ", table_name STRING").coalesce(
+        1).write.parquet(events_dir)
+    target = CowTable(spark, str(tmp_path / "t"), n_buckets=2)
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tables={"merged.t": (target, [SchemaVersion(1, 0, PAYLOAD_V1)])},
+        route_rules=src.route_rules, config=src,
+    )
+    feed.run_available_now()
+    got = {r["conv_id"]: r["text"] for r in target.snapshot().collect()}
+    assert got == {"a": "one", "b": "two"}

@@ -278,3 +278,255 @@ def load_changefeed_config(source) -> ChangefeedConfig:
         column_selector=column_selector,
         protocol=protocol,
     )
+
+
+# ------------------------------------------------------------- DM task.yaml
+
+_DM_EVENT_MAP = {
+    "insert": "I", "update": "U", "delete": "D",
+    "all dml": "IUD", "all ddl": "DDL", "all": "IUDDDL",
+}
+
+
+def _dm_events(values: list[str], where: str) -> frozenset[str]:
+    ops: set[str] = set()
+    for v in values:
+        key = " ".join(str(v).lower().split())
+        if key == "all":
+            ops.update({"I", "U", "D", "DDL"})
+        elif key == "all dml":
+            ops.update({"I", "U", "D"})
+        elif key in ("all ddl", "ddl"):
+            ops.add("DDL")
+        elif key in _DM_EVENT_MAP and len(_DM_EVENT_MAP[key]) == 1:
+            ops.add(_DM_EVENT_MAP[key])
+        else:
+            raise ValueError(
+                f"{where}: event kind {v!r} — this engine's op codes are "
+                "I/U/D plus a single in-stream DDL kind, so only "
+                "insert/update/delete/'all dml'/'all ddl'/'all' map; a "
+                "fine-grained DDL kind (drop/truncate/rename ...) cannot "
+                "be honored and failing loudly beats widening it"
+            )
+    return frozenset(ops)
+
+
+def _dm_pattern_to_regex(schema_pattern: str | None, table_pattern: str | None,
+                         where: str) -> str:
+    """DM patterns (wildcards, or ``~``-prefixed raw regex) over this
+    engine's table identity. Convention: the feed's ``table_col`` carries
+    either plain upstream table names or dotted ``schema.table``; when a
+    schema-pattern is anything but match-all, identities must be dotted —
+    the regex matches ``schema\\.table``; otherwise the table-pattern
+    alone matches the whole identity."""
+    import fnmatch as _fn
+
+    def one(p: str) -> str:
+        p = p or "*"
+        if p.startswith("~"):
+            return f"(?:{p[1:]})"
+        # fnmatch.translate appends \Z; strip it — anchoring is ours
+        return f"(?:{_fn.translate(p).replace(chr(92) + 'Z', '')})"
+
+    schema_all = schema_pattern in (None, "*", "~.*")
+    if schema_all:
+        return f"^{one(table_pattern)}$"
+    return f"^{one(schema_pattern)}\\.{one(table_pattern)}$"
+
+
+@dataclass(frozen=True)
+class DmSourceConfig:
+    """One mysql-instance's resolved rule bundle. Duck-types the
+    ``ChangefeedConfig`` surface the runner consumes (``table_filter`` +
+    ``rules_for``) and adds the DM-specific pieces: ``route_rules`` for
+    ``Changefeed(route_rules=...)`` shard-merge routing and
+    ``binlog_rules`` for the ordered Do/Ignore ladder (the runner applies
+    them on upstream names, before routing, like dm/syncer).
+
+    Documented deviation: in a ROUTED feed, expression filters resolve
+    against the post-route target identity (the runner's per-target loop),
+    not the upstream shard name — DM matches upstream. Un-routed feeds are
+    unaffected (identity unchanged). Write target-identity matchers when
+    routing."""
+
+    source_id: str
+    table_filter: TableFilter = field(default_factory=TableFilter)
+    route_rules: tuple = ()
+    binlog_rules: tuple = ()
+    expression_filters: tuple[tuple[tuple[str, ...], EventFilterRule], ...] = ()
+
+    def rules_for(self, table: str) -> list[EventFilterRule]:
+        return [
+            rule for matcher, rule in self.expression_filters
+            if any(fnmatch(table, m) for m in matcher)
+        ]
+
+
+@dataclass(frozen=True)
+class DmTaskConfig:
+    name: str
+    sources: dict[str, DmSourceConfig]
+
+    def source(self, source_id: str) -> DmSourceConfig:
+        if source_id not in self.sources:
+            raise ValueError(
+                f"task {self.name!r} has no mysql-instance "
+                f"{source_id!r} (have: {sorted(self.sources)})"
+            )
+        return self.sources[source_id]
+
+
+_DM_KNOWN_TOP = {
+    "name", "task-mode", "is-sharding", "shard-mode", "meta-schema",
+    "timezone", "target-database", "mysql-instances", "routes", "filters",
+    "block-allow-list", "black-white-list", "expression-filter",
+    # loader/dump stages are the full-load path — this engine replicates
+    # from the change log (task-mode incremental); their configs carry no
+    # replication semantics for the incremental phase
+    "mydumpers", "loaders", "syncers",
+    "heartbeat-update-interval", "heartbeat-report-interval",
+    "enable-heartbeat", "clean-dump-file", "case-sensitive",
+    "collation_compatible", "online-ddl", "online-ddl-scheme",
+}
+
+
+def load_dm_task(source) -> DmTaskConfig:
+    """Parse a DM ``task.yaml`` (path, YAML string, or dict) into
+    per-source rule bundles (reference dm/config/task.go; the tests/*/conf
+    task corpus exercises these shapes):
+
+    - ``routes``            → operators.filters.RouteRule (shard-merge);
+      DM wildcard / ``~regex`` patterns become the engine's table regex,
+      target = ``target-schema.target-table`` when schema patterns are in
+      play, else ``target-table``.
+    - ``filters``           → BinlogFilterRule (ordered Do/Ignore ladder);
+      event kinds map like the changefeed loader (fine-grained DDL kinds
+      fail loudly).
+    - ``block-allow-list`` (and its deprecated ``black-white-list``
+      spelling) → TableFilter; ``do-dbs``/``ignore-dbs`` glob the schema
+      part (``db.*``), ``do-tables``/``ignore-tables`` glob ``db.tbl``;
+      ``~regex`` entries fail loudly (TableFilter is glob-based).
+    - ``expression-filter`` → EventFilterRule value predicates.
+    - ``mysql-instances``   → which named rules each source uses.
+
+    Unknown top-level keys raise — same migration contract as
+    ``load_changefeed_config``."""
+    if isinstance(source, dict):
+        cfg = source
+    else:
+        import os
+
+        import yaml
+
+        text = source
+        if isinstance(source, str) and os.path.exists(source):
+            with open(source) as f:
+                text = f.read()
+        cfg = yaml.safe_load(text)
+    if not isinstance(cfg, dict):
+        raise ValueError("DM task config must be a mapping")
+
+    unknown = set(cfg) - _DM_KNOWN_TOP
+    if unknown:
+        raise ValueError(f"unsupported DM task keys: {sorted(unknown)}")
+
+    from tiflow_spark.operators.filters import BinlogFilterRule, RouteRule
+
+    routes = {}
+    for rname, r in (cfg.get("routes") or {}).items():
+        target = (
+            f"{r['target-schema']}.{r['target-table']}"
+            if r.get("schema-pattern") not in (None, "*", "~.*")
+            and r.get("target-table")
+            else (r.get("target-table") or r.get("target-schema"))
+        )
+        routes[rname] = RouteRule(
+            table_regex=_dm_pattern_to_regex(
+                r.get("schema-pattern"), r.get("table-pattern"),
+                f"routes.{rname}",
+            ),
+            target=target,
+        )
+
+    binlogs = {}
+    for fname, fr in (cfg.get("filters") or {}).items():
+        binlogs[fname] = BinlogFilterRule(
+            table_regex=_dm_pattern_to_regex(
+                fr.get("schema-pattern"), fr.get("table-pattern"),
+                f"filters.{fname}",
+            ),
+            events=_dm_events(fr.get("events") or [], f"filters.{fname}"),
+            action=str(fr.get("action", "Ignore")).lower(),
+        )
+
+    def _ba_globs(block: dict) -> TableFilter:
+        def check(p: str) -> str:
+            if str(p).startswith("~"):
+                raise ValueError(
+                    "block-allow-list regex patterns (~...) are not "
+                    "supported — TableFilter is glob-based; rewrite "
+                    f"{p!r} as a glob"
+                )
+            return str(p)
+
+        include = [f"{check(db)}.*" for db in (block.get("do-dbs") or [])]
+        include += [
+            f"{check(t['db-name'])}.{check(t['tbl-name'])}"
+            for t in (block.get("do-tables") or [])
+        ]
+        exclude = [f"{check(db)}.*" for db in (block.get("ignore-dbs") or [])]
+        exclude += [
+            f"{check(t['db-name'])}.{check(t['tbl-name'])}"
+            for t in (block.get("ignore-tables") or [])
+        ]
+        return TableFilter(
+            include=tuple(include) or ("*",), exclude=tuple(exclude)
+        )
+
+    ba_lists = {
+        n: _ba_globs(b)
+        for n, b in {
+            **(cfg.get("black-white-list") or {}),
+            **(cfg.get("block-allow-list") or {}),
+        }.items()
+    }
+
+    exprs = {}
+    for ename, e in (cfg.get("expression-filter") or {}).items():
+        matcher = f"{e['schema']}.{e['table']}" if e.get("schema") else e["table"]
+        exprs[ename] = (
+            (matcher, e["table"]),  # dotted and plain spellings both match
+            EventFilterRule(
+                ignore_insert_expr=e.get("insert-value-expr"),
+                ignore_update_old_expr=e.get("update-old-value-expr"),
+                ignore_update_new_expr=e.get("update-new-value-expr"),
+                ignore_delete_expr=e.get("delete-value-expr"),
+            ),
+        )
+
+    def pick(names, pool, kind):
+        out = []
+        for n in names or []:
+            if n not in pool:
+                raise ValueError(f"mysql-instance references unknown {kind} {n!r}")
+            out.append(pool[n])
+        return tuple(out)
+
+    sources = {}
+    for inst in cfg.get("mysql-instances") or []:
+        sid = inst["source-id"]
+        ba_name = inst.get("block-allow-list") or inst.get("black-white-list")
+        if ba_name is not None and ba_name not in ba_lists:
+            raise ValueError(
+                f"mysql-instance references unknown block-allow-list {ba_name!r}"
+            )
+        sources[sid] = DmSourceConfig(
+            source_id=sid,
+            table_filter=ba_lists.get(ba_name, TableFilter()),
+            route_rules=pick(inst.get("route-rules"), routes, "route rule"),
+            binlog_rules=pick(inst.get("filter-rules"), binlogs, "filter rule"),
+            expression_filters=pick(
+                inst.get("expression-filters"), exprs, "expression filter"
+            ),
+        )
+    return DmTaskConfig(name=str(cfg.get("name", "task")), sources=sources)

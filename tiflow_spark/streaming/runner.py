@@ -454,6 +454,21 @@ class Changefeed:
                     ]
                     if len(kept) != len(names):
                         batch = batch.filter(F.col(self.table_col).isin(kept))
+                binlog_rules = (
+                    getattr(self.config, "binlog_rules", ())
+                    if self.config is not None else ()
+                )
+                if binlog_rules:
+                    # DM's ordered Do/Ignore ladder runs on UPSTREAM table
+                    # names, before shard-merge routing (dm/syncer: binlog
+                    # filter precedes the router)
+                    from tiflow_spark.operators.filters import (
+                        apply_binlog_filter,
+                    )
+
+                    batch = apply_binlog_filter(
+                        batch, binlog_rules, table_col=self.table_col
+                    )
                 if self.online_ddl:
                     from tiflow_spark.operators.filters import apply_online_ddl
 
