@@ -401,3 +401,97 @@ def test_dm_task_drives_shard_merge_feed(spark, tmp_path):
     feed.run_available_now()
     got = {r["conv_id"]: r["text"] for r in target.snapshot().collect()}
     assert got == {"a": "one", "b": "two"}
+
+
+# -------------------------------------------------- sync_diff diff_config
+
+DIFF_CONFIG = textwrap.dedent(
+    """
+    check-thread-count = 2
+    export-fix-sql = true
+
+    [data-sources.mysql1]
+    host = "127.0.0.1"
+    route-rules = ["rule1"]
+
+    [routes.rule1]
+    schema-pattern = "test_*"
+    table-pattern = "t_*"
+    target-schema = "test"
+    target-table = "t"
+
+    [task]
+    output-dir = "/tmp/out"
+    source-instances = ["mysql1"]
+    target-instance = "tidb0"
+    target-check-tables = ["test.*", "!test.skip_me"]
+    target-configs = ["config1"]
+
+    [table-configs.config1]
+    target-tables = ["test.t"]
+    range = "turn_idx < 100"
+    index-fields = [""]
+    ignore-columns = ["noisy", ""]
+    """
+)
+
+
+def test_diff_config_loader_and_diff(spark, tmp_path):
+    """The sync_diff config drives the chunked compare: range and
+    ignore-columns from the matching table-config apply, excluded tables
+    are refused, and export-fix-sql yields the statement artifact."""
+    from tiflow_spark.config import load_diff_config
+
+    p = tmp_path / "diff_config.toml"
+    p.write_text(DIFF_CONFIG)
+    cfg = load_diff_config(str(p))
+
+    assert cfg.route_rules_by_source["mysql1"][0].target == "test.t"
+    assert not cfg.table_filter.should_ignore("test.t")
+    assert cfg.table_filter.should_ignore("test.skip_me")
+
+    schema = "conv_id STRING, turn_idx INT, text STRING, noisy STRING"
+    expected = spark.createDataFrame(
+        [("a", 1, "same", "x"), ("b", 2, "truth", "y"), ("c", 999, "out", "z")],
+        schema,
+    )
+    actual = spark.createDataFrame(
+        [("a", 1, "same", "DIFFERENT-NOISY"),   # ignore-columns: not a diff
+         ("b", 2, "broken", "y"),               # real diff
+         ("c", 999, "also-out", "z")],          # range: out of scope
+        schema,
+    )
+    result, fix = cfg.diff(
+        expected, actual, "test.t",
+        key_cols=["conv_id", "turn_idx"], data_cols=["text", "noisy"],
+    )
+    # row_diffs is the symmetric count: the expected and the actual
+    # version of the one broken key both land in the mismatched chunk
+    assert not result.identical and result.row_diffs == 2
+    stmts = [r["fix_sql"] for r in fix.collect()]
+    assert stmts == [
+        "REPLACE INTO `test`.`t`(`conv_id`,`turn_idx`,`text`) "
+        "VALUES ('b',2,'truth');"
+    ]
+
+    with pytest.raises(ValueError, match="target-check-tables"):
+        cfg.diff(expected, actual, "test.skip_me",
+                 key_cols=["conv_id"], data_cols=["text"])
+
+
+def test_diff_config_fails_loudly():
+    from tiflow_spark.config import load_diff_config
+
+    with pytest.raises(ValueError, match="check-struct-only"):
+        load_diff_config({"check-struct-only": True})
+    with pytest.raises(ValueError, match="index-fields"):
+        load_diff_config({
+            "table-configs": {"c": {"target-tables": ["t"],
+                                    "index-fields": ["idx_a"]}},
+        })
+    with pytest.raises(ValueError, match="unknown route"):
+        load_diff_config({
+            "data-sources": {"s": {"route-rules": ["ghost"]}},
+        })
+    with pytest.raises(ValueError, match="unsupported diff config"):
+        load_diff_config({"chunk-size": 1000})

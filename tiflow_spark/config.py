@@ -530,3 +530,167 @@ def load_dm_task(source) -> DmTaskConfig:
             ),
         )
     return DmTaskConfig(name=str(cfg.get("name", "task")), sources=sources)
+
+
+# -------------------------------------------------------- sync_diff config
+
+@dataclass(frozen=True)
+class DiffTableConfig:
+    """One ``[table-configs.X]`` block: a row-range predicate and columns
+    excluded from comparison for the tables it targets."""
+
+    target_tables: tuple[str, ...]
+    range_expr: str | None = None
+    ignore_columns: tuple[str, ...] = ()
+
+    def matches(self, table: str) -> bool:
+        return any(fnmatch(table, p) for p in self.target_tables)
+
+
+@dataclass(frozen=True)
+class DiffTaskConfig:
+    """sync_diff's diff_config.toml mapped onto operators/validate
+    (reference /root/reference/sync_diff_inspector/config/config.go; the
+    config corpus under sync_diff_inspector/config/*.toml exercises these
+    shapes). Connection blocks (host/port/user/password/session/snapshot)
+    are N/A here — sources are DataFrames — but each data-source's
+    route-rules are honored. ``diff()`` runs the chunked checksum compare
+    with the table's range/ignore-columns config and, when
+    ``export-fix-sql`` is set, the fix-SQL artifact."""
+
+    table_filter: TableFilter
+    route_rules_by_source: dict[str, tuple]
+    table_configs: tuple[DiffTableConfig, ...]
+    export_fix_sql: bool = True
+    check_thread_count: int = 4
+    check_struct_only: bool = False
+
+    def table_config(self, table: str) -> DiffTableConfig | None:
+        for tc in self.table_configs:
+            if tc.matches(table):
+                return tc
+        return None
+
+    def diff(self, expected, actual, table: str, key_cols, data_cols,
+             schema: str = "db"):
+        """Compare one checked table: DiffResult plus (when configured)
+        the fix-SQL statements. ``n_chunks`` scales with
+        check-thread-count (the reference's parallelism knob is its chunk
+        count); range/ignore-columns come from the matching table-config."""
+        from tiflow_spark.operators.validate import (
+            diff_tables, fix_sql_statements,
+        )
+
+        if self.table_filter.should_ignore(table):
+            raise ValueError(
+                f"{table!r} is not in target-check-tables — refusing to "
+                "diff a table the config excludes"
+            )
+        tc = self.table_config(table)
+        if tc is not None and tc.range_expr:
+            from pyspark.sql import functions as F
+
+            expected = expected.filter(F.expr(tc.range_expr))
+            actual = actual.filter(F.expr(tc.range_expr))
+        cols = list(data_cols)
+        if tc is not None:
+            cols = [c for c in cols if c not in tc.ignore_columns]
+        result = diff_tables(
+            expected, actual, key_cols=list(key_cols), compare_cols=cols,
+            n_chunks=max(self.check_thread_count * 4, 4),
+        )
+        fix = None
+        if self.export_fix_sql and not result.identical:
+            dotted = table.split(".", 1)
+            sch, tbl = (dotted if len(dotted) == 2 else (schema, table))
+            fix = fix_sql_statements(
+                expected, actual, key_cols=list(key_cols), data_cols=cols,
+                schema=sch, table=tbl,
+            )
+        return result, fix
+
+
+def load_diff_config(source) -> DiffTaskConfig:
+    """Parse a sync_diff ``diff_config.toml`` (path or dict). Unknown
+    top-level keys and non-empty ``index-fields`` (chunking by a named
+    secondary index — this engine chunks by key hash) fail loudly."""
+    if isinstance(source, dict):
+        cfg = dict(source)
+    else:
+        import tomllib
+
+        with open(source, "rb") as f:
+            cfg = tomllib.load(f)
+
+    known = {
+        "check-thread-count", "export-fix-sql", "check-struct-only",
+        "data-sources", "routes", "task", "table-configs",
+    }
+    unknown = set(cfg) - known
+    if unknown:
+        raise ValueError(f"unsupported diff config keys: {sorted(unknown)}")
+    if cfg.get("check-struct-only"):
+        raise ValueError(
+            "check-struct-only=true compares schemas without data — "
+            "compare DataFrame .schema objects directly instead; this "
+            "runner is the data path"
+        )
+
+    from tiflow_spark.operators.filters import RouteRule
+
+    routes = {}
+    for rname, r in (cfg.get("routes") or {}).items():
+        target = (
+            f"{r['target-schema']}.{r['target-table']}"
+            if r.get("table-pattern") or r.get("target-table")
+            else r["target-schema"]
+        )
+        routes[rname] = RouteRule(
+            table_regex=_dm_pattern_to_regex(
+                r.get("schema-pattern"), r.get("table-pattern"),
+                f"routes.{rname}",
+            ),
+            target=target,
+        )
+    by_source = {}
+    for sname, s in (cfg.get("data-sources") or {}).items():
+        rr = []
+        for rn in s.get("route-rules") or []:
+            if rn not in routes:
+                raise ValueError(
+                    f"data-source {sname!r} references unknown route {rn!r}"
+                )
+            rr.append(routes[rn])
+        by_source[sname] = tuple(rr)
+
+    task = cfg.get("task") or {}
+    checked = list(task.get("target-check-tables") or ["*"])
+    include = tuple(p for p in checked if not p.startswith("!")) or ("*",)
+    exclude = tuple(p[1:] for p in checked if p.startswith("!"))
+
+    tcs = []
+    for tname, tc in (cfg.get("table-configs") or {}).items():
+        idx = [f for f in (tc.get("index-fields") or []) if f]
+        if idx:
+            raise ValueError(
+                f"table-configs.{tname}: index-fields {idx} — chunking by "
+                "a named index is not supported (chunks are key-hash "
+                "ranges here); remove it"
+            )
+        tcs.append(
+            DiffTableConfig(
+                target_tables=tuple(tc.get("target-tables") or ("*",)),
+                range_expr=tc.get("range") or None,
+                ignore_columns=tuple(
+                    c for c in (tc.get("ignore-columns") or []) if c
+                ),
+            )
+        )
+
+    return DiffTaskConfig(
+        table_filter=TableFilter(include=include, exclude=exclude),
+        route_rules_by_source=by_source,
+        table_configs=tuple(tcs),
+        export_fix_sql=bool(cfg.get("export-fix-sql", True)),
+        check_thread_count=int(cfg.get("check-thread-count", 4)),
+    )
