@@ -495,3 +495,109 @@ def test_diff_config_fails_loudly():
         })
     with pytest.raises(ValueError, match="unsupported diff config"):
         load_diff_config({"chunk-size": 1000})
+
+
+# ----------------------------------------------- round-5 review-2 pins
+
+def test_null_expr_keeps_row_reference_semantics(spark):
+    """expr_filter.go semantics: an event is ignored only when the
+    predicate is TRUE — a NULL-evaluating expression keeps the row. The
+    old three-valued ~drop inverted this and silently discarded every
+    insert whose filtered column was NULL."""
+    from tiflow_spark.operators.filters import (
+        EventFilterRule, apply_event_filter,
+    )
+
+    df = spark.createDataFrame(
+        [("I", 1, "spam_tool"), ("I", 2, None), ("I", 3, "ok")],
+        "op STRING, start_ts LONG, tool STRING",
+    )
+    rule = EventFilterRule(ignore_insert_expr="tool = 'spam_tool'")
+    kept = {r["start_ts"] for r in apply_event_filter(df, rule).collect()}
+    assert kept == {2, 3}  # NULL tool row is KEPT, not silently dropped
+
+
+def test_table_filter_rules_last_match_wins():
+    """tidb table-filter grammar: ['*', '!test_*', 'test_keep'] re-includes
+    test_keep after the exclusion — a split include/exclude set cannot
+    express this."""
+    cfg = load_changefeed_config(
+        {"filter": {"rules": ["*", "!test_*", "test_keep"]}}
+    )
+    assert not cfg.table_filter.should_ignore("other")
+    assert cfg.table_filter.should_ignore("test_drop")
+    assert not cfg.table_filter.should_ignore("test_keep")
+    assert cfg.table_filter.should_ignore(None)
+
+
+def test_dm_schema_only_route_preserves_table_names(spark):
+    """A DM schema rename (no target-table) must keep each table's own
+    name — collapsing shard_0.orders and shard_0.users into one identity
+    would silently LWW-merge unrelated tables."""
+    from tiflow_spark.config import load_dm_task
+    from tiflow_spark.operators.filters import route_tables
+
+    src = load_dm_task({
+        "name": "t",
+        "routes": {"r": {"schema-pattern": "shard_*",
+                         "target-schema": "merged"}},
+        "mysql-instances": [{"source-id": "s", "route-rules": ["r"]}],
+    }).source("s")
+    frame = spark.createDataFrame(
+        [("shard_0.orders",), ("shard_1.users",), ("other.t",)],
+        "table_name STRING",
+    )
+    routed = {r["table_name"]
+              for r in route_tables(frame, src.route_rules).collect()}
+    assert routed == {"merged.orders", "merged.users", "other.t"}
+
+
+def test_loader_rejects_unhonorable_exprs_and_unknown_keys():
+    from tiflow_spark.config import load_dm_task
+
+    with pytest.raises(ValueError, match="delete-value-expr"):
+        load_changefeed_config({"filter": {"event-filters": [
+            {"matcher": ["t"], "ignore-delete-value-expr": "id = 3"}]}})
+    with pytest.raises(ValueError, match="pre_"):
+        load_changefeed_config({"filter": {"event-filters": [
+            {"matcher": ["t"],
+             "ignore-update-old-value-expr": "balance < 0"}]}})
+    with pytest.raises(ValueError, match="delete-value-expr"):
+        load_dm_task({"name": "x", "expression-filter": {
+            "e": {"schema": "s", "table": "t", "delete-value-expr": "id=1"}},
+            "mysql-instances": [
+                {"source-id": "s", "expression-filters": ["e"]}]})
+    with pytest.raises(ValueError, match="unsupported changefeed"):
+        load_changefeed_config({"force-replicate": True})
+    with pytest.raises(ValueError, match=r"\[sink\] keys"):
+        load_changefeed_config({"sink": {"terminator": "\0"}})
+    with pytest.raises(ValueError, match="include-commit-ts"):
+        load_changefeed_config(
+            {"sink": {"csv": {"include-commit-ts": False}}})
+
+
+def test_column_selector_accepts_dict_rules_and_validates():
+    from tiflow_spark.sinks.mq import ColumnSelector
+
+    sel = ColumnSelector([{"matcher": ["t_*"], "columns": ["*", "!tool"]}])
+    assert sel.retained("t_1", ["role", "text", "tool"],
+                        ("conv_id", "turn_idx")) == ["role", "text"]
+    with pytest.raises(ValueError, match="unsupported column-selector"):
+        ColumnSelector([{"matcher": ["t"], "cols": ["*"]}])
+    with pytest.raises(ValueError, match="non-empty"):
+        ColumnSelector([("t", ["*"])])  # string matcher, not a list
+
+
+def test_craft_nullable_long_beyond_2_53_fails_loudly(spark):
+    """The Arrow→pandas float64 carrier for null-bearing int64 columns
+    cannot represent |v| > 2^53; encoding must fail loudly, not round-trip
+    a changed value."""
+    from tiflow_spark.sinks.codecs import craft_encode
+
+    df = spark.createDataFrame(
+        [("I", 10, 9, "c1", 0, 2**53 + 1), ("I", 11, 10, "c2", 1, None)],
+        "op STRING, commit_ts LONG, start_ts LONG, conv_id STRING, "
+        "turn_idx INT, score LONG",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="2\\^53"):
+        craft_encode(df).collect()

@@ -151,12 +151,30 @@ def _parse_event_filter(ef: dict) -> tuple[tuple[str, ...], EventFilterRule]:
     if unknown:
         raise ValueError(f"unsupported event-filter keys: {sorted(unknown)}")
     matcher = tuple(ef.get("matcher") or ("*",))
+    if ef.get("ignore-delete-value-expr"):
+        # this engine's delete events carry NO row image (payload NULL on
+        # op='D'); the expression would evaluate NULL on every delete —
+        # under reference semantics that ignores nothing, silently
+        raise ValueError(
+            "ignore-delete-value-expr cannot be honored: delete events "
+            "carry no row image in this log — use ignore-event=['delete'] "
+            "or filter upstream"
+        )
+    if ef.get("ignore-update-old-value-expr"):
+        # the reference evaluates old-image exprs over PLAIN column names;
+        # this engine exposes the old image as pre_-prefixed columns, so a
+        # migrated plain-name expr would silently test the NEW image
+        raise ValueError(
+            "ignore-update-old-value-expr is not honored by the loader: "
+            "old-image columns are pre_-prefixed here, so the reference's "
+            "plain-name expression would silently evaluate the NEW image "
+            "— construct EventFilterRule(ignore_update_old_expr=...) with "
+            "pre_* names directly"
+        )
     rule = EventFilterRule(
         ignore_ops=_parse_ignore_events(ef.get("ignore-event") or []),
         ignore_insert_expr=ef.get("ignore-insert-value-expr"),
         ignore_update_new_expr=ef.get("ignore-update-new-value-expr"),
-        ignore_update_old_expr=ef.get("ignore-update-old-value-expr"),
-        ignore_delete_expr=ef.get("ignore-delete-value-expr"),
     )
     return matcher, rule
 
@@ -217,11 +235,22 @@ def load_changefeed_config(source) -> ChangefeedConfig:
                 "or handle its concern outside the changefeed (silently "
                 "dropping it would change replication behavior)"
             )
+    unknown_top = set(cfg) - {"filter", "sink"}
+    if unknown_top:
+        raise ValueError(
+            f"unsupported changefeed config keys: {sorted(unknown_top)} — "
+            "every accepted key maps onto an engine operator; an option "
+            "silently ignored would be a silent behavior change"
+        )
 
     filt = cfg.get("filter") or {}
-    rules = list(filt.get("rules") or ["*"])
-    include = tuple(r for r in rules if not r.startswith("!")) or ("*",)
-    exclude = tuple(r[1:] for r in rules if r.startswith("!"))
+    unknown_f = set(filt) - {"rules", "ignore-txn-start-ts", "event-filters"}
+    if unknown_f:
+        raise ValueError(f"unsupported [filter] keys: {sorted(unknown_f)}")
+    # ordered tidb-table-filter rules: last match wins ('!' negates) —
+    # NOT an include/exclude split, which cannot express
+    # ['*', '!test_*', 'test_keep'] re-inclusion
+    rules = tuple(filt.get("rules") or ("*",))
     base_rule = None
     ignore_txn = filt.get("ignore-txn-start-ts") or []
     if ignore_txn:
@@ -238,6 +267,9 @@ def load_changefeed_config(source) -> ChangefeedConfig:
         event_filters.insert(0, base_rule)
 
     sink = cfg.get("sink") or {}
+    unknown_s = set(sink) - {"protocol", "dispatchers", "column-selectors", "csv"}
+    if unknown_s:
+        raise ValueError(f"unsupported [sink] keys: {sorted(unknown_s)}")
     protocol = sink.get("protocol")
     if protocol is not None and protocol not in SUPPORTED_PROTOCOLS:
         raise ValueError(
@@ -259,6 +291,15 @@ def load_changefeed_config(source) -> ChangefeedConfig:
         else None
     )
     csv_cfg = sink.get("csv") or {}
+    unknown_c = set(csv_cfg) - {"delimiter", "quote", "null", "include-commit-ts"}
+    if unknown_c:
+        raise ValueError(f"unsupported [sink.csv] keys: {sorted(unknown_c)}")
+    if csv_cfg.get("include-commit-ts") is False:
+        raise ValueError(
+            "[sink.csv] include-commit-ts=false: this engine's change "
+            "files always carry the commit-ts column (the replay path "
+            "needs it) — a consumer expecting it absent would misparse"
+        )
     dialect = {
         "delimiter": csv_cfg.get("delimiter", ","),
         "quote": csv_cfg.get("quote", '"'),
@@ -272,7 +313,7 @@ def load_changefeed_config(source) -> ChangefeedConfig:
         )
 
     return ChangefeedConfig(
-        table_filter=TableFilter(include=include, exclude=exclude),
+        table_filter=TableFilter(rules=rules),
         event_filters=tuple(event_filters),
         dispatchers=dispatchers,
         column_selector=column_selector,
@@ -282,12 +323,6 @@ def load_changefeed_config(source) -> ChangefeedConfig:
 
 # ------------------------------------------------------------- DM task.yaml
 
-_DM_EVENT_MAP = {
-    "insert": "I", "update": "U", "delete": "D",
-    "all dml": "IUD", "all ddl": "DDL", "all": "IUDDDL",
-}
-
-
 def _dm_events(values: list[str], where: str) -> frozenset[str]:
     ops: set[str] = set()
     for v in values:
@@ -295,11 +330,11 @@ def _dm_events(values: list[str], where: str) -> frozenset[str]:
         if key == "all":
             ops.update({"I", "U", "D", "DDL"})
         elif key == "all dml":
-            ops.update({"I", "U", "D"})
+            ops.update(_DML_EVENTS.values())
         elif key in ("all ddl", "ddl"):
             ops.add("DDL")
-        elif key in _DM_EVENT_MAP and len(_DM_EVENT_MAP[key]) == 1:
-            ops.add(_DM_EVENT_MAP[key])
+        elif key in _DML_EVENTS:
+            ops.add(_DML_EVENTS[key])
         else:
             raise ValueError(
                 f"{where}: event kind {v!r} — this engine's op codes are "
@@ -332,6 +367,44 @@ def _dm_pattern_to_regex(schema_pattern: str | None, table_pattern: str | None,
     if schema_all:
         return f"^{one(table_pattern)}$"
     return f"^{one(schema_pattern)}\\.{one(table_pattern)}$"
+
+
+def _dm_route_rule(RouteRule, r: dict, where: str):
+    """DM/sync_diff route entry → RouteRule. A schema-only rename (no
+    target-table) keeps each table's own name via a capture group —
+    collapsing shard_0.orders AND shard_0.users into one target identity
+    would silently LWW-merge unrelated tables."""
+    schema_all = r.get("schema-pattern") in (None, "*", "~.*")
+    if r.get("target-table"):
+        target = (
+            r["target-table"] if schema_all
+            else f"{r['target-schema']}.{r['target-table']}"
+        )
+        regex = _dm_pattern_to_regex(
+            r.get("schema-pattern"), r.get("table-pattern"), where
+        )
+    else:
+        if schema_all or not r.get("target-schema"):
+            raise ValueError(
+                f"{where}: a route needs target-table, or a schema "
+                "rename (schema-pattern + target-schema)"
+            )
+        # schema rename: capture the table part, substitute per row
+        import fnmatch as _fn
+
+        sp = r["schema-pattern"]
+        sre = (
+            f"(?:{sp[1:]})" if sp.startswith("~")
+            else "(?:%s)" % _fn.translate(sp).replace(chr(92) + "Z", "")
+        )
+        tp = r.get("table-pattern") or "*"
+        tre = (
+            f"({tp[1:]})" if tp.startswith("~")
+            else "(%s)" % _fn.translate(tp).replace(chr(92) + "Z", "")
+        )
+        regex = f"^{sre}\\.{tre}$"
+        target = f"{r['target-schema']}.$1"
+    return RouteRule(table_regex=regex, target=target)
 
 
 @dataclass(frozen=True)
@@ -432,21 +505,10 @@ def load_dm_task(source) -> DmTaskConfig:
 
     from tiflow_spark.operators.filters import BinlogFilterRule, RouteRule
 
-    routes = {}
-    for rname, r in (cfg.get("routes") or {}).items():
-        target = (
-            f"{r['target-schema']}.{r['target-table']}"
-            if r.get("schema-pattern") not in (None, "*", "~.*")
-            and r.get("target-table")
-            else (r.get("target-table") or r.get("target-schema"))
-        )
-        routes[rname] = RouteRule(
-            table_regex=_dm_pattern_to_regex(
-                r.get("schema-pattern"), r.get("table-pattern"),
-                f"routes.{rname}",
-            ),
-            target=target,
-        )
+    routes = {
+        rname: _dm_route_rule(RouteRule, r, f"routes.{rname}")
+        for rname, r in (cfg.get("routes") or {}).items()
+    }
 
     binlogs = {}
     for fname, fr in (cfg.get("filters") or {}).items():
@@ -493,14 +555,27 @@ def load_dm_task(source) -> DmTaskConfig:
 
     exprs = {}
     for ename, e in (cfg.get("expression-filter") or {}).items():
+        if e.get("delete-value-expr"):
+            raise ValueError(
+                f"expression-filter.{ename}: delete-value-expr cannot be "
+                "honored — delete events carry no row image in this log; "
+                "use a binlog filter on deletes or repair upstream"
+            )
+        if e.get("update-old-value-expr"):
+            raise ValueError(
+                f"expression-filter.{ename}: update-old-value-expr is not "
+                "honored by the loader — old-image columns are "
+                "pre_-prefixed here, so the plain-name expression would "
+                "silently evaluate the NEW image; construct "
+                "EventFilterRule(ignore_update_old_expr=...) with pre_* "
+                "names directly"
+            )
         matcher = f"{e['schema']}.{e['table']}" if e.get("schema") else e["table"]
         exprs[ename] = (
             (matcher, e["table"]),  # dotted and plain spellings both match
             EventFilterRule(
                 ignore_insert_expr=e.get("insert-value-expr"),
-                ignore_update_old_expr=e.get("update-old-value-expr"),
                 ignore_update_new_expr=e.get("update-new-value-expr"),
-                ignore_delete_expr=e.get("delete-value-expr"),
             ),
         )
 
@@ -638,20 +713,10 @@ def load_diff_config(source) -> DiffTaskConfig:
 
     from tiflow_spark.operators.filters import RouteRule
 
-    routes = {}
-    for rname, r in (cfg.get("routes") or {}).items():
-        target = (
-            f"{r['target-schema']}.{r['target-table']}"
-            if r.get("table-pattern") or r.get("target-table")
-            else r["target-schema"]
-        )
-        routes[rname] = RouteRule(
-            table_regex=_dm_pattern_to_regex(
-                r.get("schema-pattern"), r.get("table-pattern"),
-                f"routes.{rname}",
-            ),
-            target=target,
-        )
+    routes = {
+        rname: _dm_route_rule(RouteRule, r, f"routes.{rname}")
+        for rname, r in (cfg.get("routes") or {}).items()
+    }
     by_source = {}
     for sname, s in (cfg.get("data-sources") or {}).items():
         rr = []
@@ -664,9 +729,7 @@ def load_diff_config(source) -> DiffTaskConfig:
         by_source[sname] = tuple(rr)
 
     task = cfg.get("task") or {}
-    checked = list(task.get("target-check-tables") or ["*"])
-    include = tuple(p for p in checked if not p.startswith("!")) or ("*",)
-    exclude = tuple(p[1:] for p in checked if p.startswith("!"))
+    checked = tuple(task.get("target-check-tables") or ("*",))
 
     tcs = []
     for tname, tc in (cfg.get("table-configs") or {}).items():
@@ -688,7 +751,7 @@ def load_diff_config(source) -> DiffTaskConfig:
         )
 
     return DiffTaskConfig(
-        table_filter=TableFilter(include=include, exclude=exclude),
+        table_filter=TableFilter(rules=checked),
         route_rules_by_source=by_source,
         table_configs=tuple(tcs),
         export_fix_sql=bool(cfg.get("export-fix-sql", True)),

@@ -15,6 +15,7 @@ embeds TiDB's expression engine; Catalyst *is* ours).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from fnmatch import fnmatch
 
@@ -62,7 +63,12 @@ def keep_predicate(rule: EventFilterRule) -> Column:
         drop = drop | ((F.col("op") == "U") & F.expr(rule.ignore_update_old_expr))
     if rule.ignore_delete_expr:
         drop = drop | ((F.col("op") == "D") & F.expr(rule.ignore_delete_expr))
-    return ~drop
+    # reference semantics (expr_filter.go): an event is ignored only when
+    # the expression evaluates TRUE — a NULL/unknown predicate KEEPS the
+    # row. Without the coalesce, three-valued logic inverts that: a NULL
+    # expr makes keep NULL and DataFrame.filter drops it, silently losing
+    # rows whose filtered column is NULL.
+    return ~F.coalesce(drop, F.lit(False))
 
 
 def apply_event_filter(events: DataFrame, rule: EventFilterRule) -> DataFrame:
@@ -132,10 +138,20 @@ def route_tables(
     rules: tuple[RouteRule, ...],
     table_col: str = "table_name",
 ) -> DataFrame:
+    """Apply routing rules in order (first match wins). A ``target``
+    containing ``$1``-style backrefs substitutes capture groups from
+    ``table_regex`` — the schema-only rename case (DM routes with no
+    target-table keep each table's own name: ``shard_*`` → ``merged.$1``
+    must NOT collapse every table in the schema into one identity)."""
     expr: Column = F.col(table_col)
     for rule in reversed(rules):  # earlier rules applied last -> win
+        target = (
+            F.regexp_replace(F.col(table_col), rule.table_regex, rule.target)
+            if re.search(r"\$\d", rule.target)
+            else F.lit(rule.target)
+        )
         expr = F.when(
-            F.col(table_col).rlike(rule.table_regex), F.lit(rule.target)
+            F.col(table_col).rlike(rule.table_regex), target
         ).otherwise(expr)
     return events.withColumn(table_col, expr)
 
@@ -200,21 +216,47 @@ def apply_online_ddl(
 
 @dataclass(frozen=True)
 class TableFilter:
-    """Include/exclude glob patterns over table names (filter.go:230-238).
-    Our stream is single-table, but multi-table changefeeds route by a
-    `table_name` column."""
+    """Glob filtering over table names (filter.go:230-238). Two forms:
+
+    - ``rules``: an ORDERED tidb-table-filter rule list — the LAST
+      matching pattern decides, ``'!'`` prefix negates, a table no rule
+      matches is excluded (the grammar `['*', '!test_*', 'test_keep']`
+      re-includes test_keep after the exclusion — split include/exclude
+      sets cannot express that). Config loaders use this form.
+    - ``include``/``exclude``: the legacy split form (exclusion wins);
+      kept for direct construction.
+    """
 
     include: tuple[str, ...] = ("*",)
     exclude: tuple[str, ...] = field(default_factory=tuple)
+    rules: tuple[str, ...] = ()
 
     def should_ignore(self, table: str) -> bool:
+        if table is None:
+            return True  # an unroutable row matches no pattern
+        if self.rules:
+            keep = False
+            for p in self.rules:
+                neg = p.startswith("!")
+                if fnmatch(table, p[1:] if neg else p):
+                    keep = not neg
+            return not keep
         if any(fnmatch(table, p) for p in self.exclude):
             return True
         return not any(fnmatch(table, p) for p in self.include)
 
+    @property
+    def is_match_all(self) -> bool:
+        return not self.rules and self.include == ("*",) and not self.exclude
+
     def apply(self, events: DataFrame, col: str = "table_name") -> DataFrame:
         # evaluated driver-side over the (small) distinct table set, then a
-        # broadcast isin — pattern match never runs per row
+        # broadcast isin — pattern match never runs per row. NULL table
+        # names match no pattern and drop with the excluded tables.
+        if self.is_match_all:
+            return events
         tables = [r[0] for r in events.select(col).distinct().collect()]
         keep = [t for t in tables if not self.should_ignore(t)]
+        if len(keep) == len(tables):
+            return events
         return events.filter(F.col(col).isin(keep))

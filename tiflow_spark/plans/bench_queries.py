@@ -1826,7 +1826,8 @@ _PREIMAGE_FILTER_SQL = f"""
          json_extract_string(payload, '$.text') AS new_text,
          json_extract_string(pre_payload, '$.text') AS pre_text
   FROM ce
-  WHERE NOT (op = 'U' AND json_extract_string(pre_payload, '$.text') LIKE '%3')
+  WHERE NOT COALESCE(
+    op = 'U' AND json_extract_string(pre_payload, '$.text') LIKE '%3', FALSE)
 """
 
 
@@ -1927,7 +1928,11 @@ ORACLES = {
     "cdc_event_filter": f"""
       WITH ce AS ({CE_SQL})
       SELECT op, conv_id, turn_idx, commit_ts, val FROM ce
-      WHERE NOT (op = 'D') AND NOT (op = 'U' AND val < 100)
+      -- reference semantics (expr_filter.go): ignore only when the
+      -- predicate is TRUE; NULL keeps the row (COALESCE mirrors the
+      -- engine's keep_predicate)
+      WHERE NOT (op = 'D')
+        AND NOT COALESCE(op = 'U' AND val < 100, FALSE)
     """,
     "cdc_preimage_filter": _PREIMAGE_FILTER_SQL,
     "cdc_pipeline_snapshot": _PIPELINE_SNAPSHOT_SQL,

@@ -799,7 +799,26 @@ def craft_encode(
                         encoded_cols.append((c, 1, out))
                     else:
                         # nullable data long: per-row presence flag, deltas
-                        # run over present values only
+                        # run over present values only. Arrow hands a
+                        # null-bearing int64 column to pandas as float64,
+                        # which silently loses integer precision above
+                        # 2^53 — fail loudly at the boundary rather than
+                        # round-trip a changed value (the no-null tcode-1
+                        # path stays int64 end-to-end and is exact).
+                        if vals.dtype.kind == "f" and (
+                            vals.abs() >= 2**53
+                        ).any():
+                            # >= not >: a corrupted 2^53+1 arrives HERE
+                            # already rounded to exactly 2^53, so any
+                            # value at the boundary is indistinguishable
+                            # from a corrupted neighbor
+                            raise ValueError(
+                                f"craft_encode: nullable long column {c!r} "
+                                "holds |value| >= 2^53 alongside NULLs — "
+                                "the Arrow→pandas float64 carrier cannot "
+                                "represent it exactly; split the column "
+                                "or make it non-null"
+                            )
                         prev, out = 0, []
                         for v in vals:
                             if pd.isna(v):

@@ -184,12 +184,30 @@ class ColumnSelector:
         ColumnSelector([ (("transcripts*",), ("*", "!tool")) ])
     """
 
-    def __init__(self, rules: list[tuple[tuple[str, ...], tuple[str, ...]]]):
+    def __init__(self, rules):
         if not rules:
             raise ValueError("ColumnSelector requires at least one rule")
-        self.rules = [
-            (tuple(matcher), tuple(patterns)) for matcher, patterns in rules
-        ]
+        self.rules = []
+        for rule in rules:
+            # accept the changefeed.toml dict spelling too — bare tuple
+            # unpacking of a dict would silently iterate its KEY STRINGS
+            # ({'matcher': ..., 'columns': ...} → ('m','a','t',...)), and
+            # the selector would never match a real table
+            if isinstance(rule, dict):
+                unknown = set(rule) - {"matcher", "columns"}
+                if unknown:
+                    raise ValueError(
+                        f"unsupported column-selector keys: {sorted(unknown)}"
+                    )
+                matcher, patterns = rule.get("matcher"), rule.get("columns")
+            else:
+                matcher, patterns = rule
+            if not matcher or not patterns or isinstance(matcher, str):
+                raise ValueError(
+                    "column-selector rule needs non-empty matcher and "
+                    f"columns lists, got {rule!r}"
+                )
+            self.rules.append((tuple(matcher), tuple(patterns)))
 
     @staticmethod
     def _match_column(patterns: tuple[str, ...], col: str) -> bool:

@@ -437,23 +437,14 @@ class Changefeed:
                         self._batches_since_validation = 0
                         self.validate_now()
             else:
-                tf = self.config.table_filter if self.config is not None else None
-                if tf is not None and (
-                    tf.include != ("*",) or tf.exclude
-                ):
+                if self.config is not None:
                     # upstream (pre-route) names, DM block-allow semantics;
-                    # driver-side over the small distinct table set. DDL
-                    # rows of an excluded table drop with it.
-                    names = [
-                        r[0] for r in
-                        batch.select(self.table_col).distinct().collect()
-                    ]
-                    kept = [
-                        t for t in names
-                        if t is not None and not tf.should_ignore(t)
-                    ]
-                    if len(kept) != len(names):
-                        batch = batch.filter(F.col(self.table_col).isin(kept))
+                    # TableFilter.apply resolves driver-side over the small
+                    # distinct table set (no-op for a match-all filter).
+                    # DDL rows of an excluded table drop with it.
+                    batch = self.config.table_filter.apply(
+                        batch, col=self.table_col
+                    )
                 binlog_rules = (
                     getattr(self.config, "binlog_rules", ())
                     if self.config is not None else ()
