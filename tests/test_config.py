@@ -601,3 +601,42 @@ def test_craft_nullable_long_beyond_2_53_fails_loudly(spark):
     ).coalesce(1)
     with pytest.raises(Exception, match="2\\^53"):
         craft_encode(df).collect()
+
+
+def test_config_dispatchers_drive_run_mq(spark, tmp_path):
+    """Per-table dispatcher rules from the config reach the MQ path: the
+    matched table gets its rule's partition mode and topic template, the
+    unmatched table keeps the feed-level defaults."""
+    from tiflow_spark.sinks.cow_table import CowTable
+    from tiflow_spark.sources.registry import PAYLOAD_V1, SchemaVersion
+    from tiflow_spark.streaming.runner import Changefeed
+
+    cfg = load_changefeed_config({
+        "sink": {"dispatchers": [
+            {"matcher": ["even"], "partition": "ts",
+             "topic": "special_{table}"},
+        ]},
+    })
+    rows = [
+        (*_ev("I", 13, "a", "one"), "even"),
+        (*_ev("I", 20, "b", "two"), "odd"),
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows, EV_SCHEMA + ", table_name STRING").coalesce(
+        1).write.parquet(events_dir)
+    reg = [SchemaVersion(1, 0, PAYLOAD_V1)]
+    feed = Changefeed(
+        spark=spark, events_dir=events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        tables={"even": (None, reg), "odd": (None, reg)},
+        max_files_per_trigger=1000,
+    )
+    feed.run_mq(str(tmp_path / "mq"), n_partitions=4, config=cfg)
+    msgs = spark.read.parquet(str(tmp_path / "mq") + "/batch=*")
+    data = [
+        r for r in msgs.collect()
+        if r["value"] and '"type":"INSERT"' in r["value"]
+    ]
+    by_topic = {r["topic"]: r for r in data}
+    assert set(by_topic) == {"special_even", "default_odd"}
+    assert by_topic["special_even"]["partition"] == 13 % 4  # rule: ts mode

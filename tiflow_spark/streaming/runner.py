@@ -1072,6 +1072,7 @@ class Changefeed:
         dispatch_columns: tuple[str, ...] | None = None,
         topic_expr: str | None = None,
         schema_name: str = "default",
+        config=None,
     ) -> None:
         """Changefeed to an MQ sink instead of a table: each microbatch's
         events are decoded, canal-JSON-encoded with partition routing, and
@@ -1109,6 +1110,24 @@ class Changefeed:
         if self.tables is not None and topic_expr is None:
             topic_expr = "{schema}_{table}"
 
+        # changefeed.toml dispatchers: each table's first matching rule
+        # overrides the feed-level dispatch/columns/topic/column-selector
+        # (event_router.go first-match semantics; config.mq_kwargs). Tables
+        # no rule matches keep the feed-level arguments.
+        def _table_mq_kwargs(name: str) -> dict:
+            kw = {
+                "dispatch": dispatch,
+                "dispatch_columns": dispatch_columns,
+                "topic_expr": topic_expr,
+            }
+            if config is not None:
+                cfg_kw = config.mq_kwargs(name)
+                sel = cfg_kw.pop("column_selector", None)
+                if sel is not None:
+                    kw["column_selector"] = sel
+                kw.update({k: v for k, v in cfg_kw.items() if v is not None})
+            return kw
+
         def _broadcast_topics(frame: DataFrame, topics: list[str | None]) -> DataFrame:
             """Stamp control messages (watermark/DDL/bootstrap) onto every
             topic of the feed; None = no topic routing (single-table)."""
@@ -1130,15 +1149,19 @@ class Changefeed:
                             self.registry = registry
                     else:
                         batch_dml = batch
+                    kw = _table_mq_kwargs(self.config_table)
+                    eff_topic = kw.pop("topic_expr")
+                    topic_table = (
+                        self.config_table if config is not None else "default"
+                    )
                     topics: list[str | None] = (
-                        [resolve_topic(topic_expr, "default", schema_name)]
-                        if topic_expr is not None else [None]
+                        [resolve_topic(eff_topic, topic_table, schema_name)]
+                        if eff_topic is not None else [None]
                     )
                     frame = encode_for_mq(
                         decode_payload(batch_dml, registry),
                         n_partitions=n_partitions,
-                        dispatch=dispatch,
-                        dispatch_columns=dispatch_columns,
+                        **kw,
                     )
                     if topics != [None]:
                         frame = frame.withColumn("topic", F.lit(topics[0]))
@@ -1158,18 +1181,19 @@ class Changefeed:
                             self.tables[name] = (tbl, reg)
                         else:
                             sub_dml = sub.filter(F.col("op") != "DDL")
+                        kw = _table_mq_kwargs(name)
                         frames.append(
                             encode_for_mq(
                                 decode_payload(sub_dml, reg),
                                 n_partitions=n_partitions,
-                                dispatch=dispatch,
-                                dispatch_columns=dispatch_columns,
-                                topic_expr=topic_expr,
                                 table_col=self.table_col,
                                 schema_name=schema_name,
+                                **kw,
                             )
                         )
-                        topics.append(resolve_topic(topic_expr, name, schema_name))
+                        topics.append(
+                            resolve_topic(kw["topic_expr"], name, schema_name)
+                        )
                         registries.append(reg)
                         ddl_src.append((sub, topics[-1]))
                 frame = frames[0]
