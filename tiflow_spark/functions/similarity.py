@@ -257,23 +257,72 @@ def embedding_near_dups(
         ]
     )
     blocked = c.select("id", "qv", F.explode(keys).alias("bkey"))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(b, "bkey")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.qv").alias("qa"),
-            F.col("b.qv").alias("qb"),
+
+    # Within-bucket all-pairs scoring runs as ONE blocked matrix product per
+    # bucket (numpy inside applyInPandas) instead of a bucket self-join with
+    # the cosine in the JVM join condition. Why (r6 measurement, sf1.0 =
+    # 20k vectors, 12.9M candidate pairs): the join plan evaluated THREE
+    # zip_with+aggregate dots per pair inside the BroadcastHashJoin
+    # condition, re-evaluated them in the output Project for survivors, and
+    # probed from a single-split scan — 205s on one core. The matmul form
+    # moves each vector across the bucket shuffle ONCE (no B^2 pair rows
+    # with two dim-long arrays each ever materialize) and scores a bucket in
+    # O(B^2 * dim) vectorized FLOPs; row-block tiling bounds task memory.
+    #
+    # Exactness (the DuckDB oracle hash-matches bit-for-bit): |q| <= Q_SCALE
+    # and dim <= 4096 keep every product and partial sum below 2^53, so the
+    # float64 matmul is exact integer arithmetic == the JVM long dot; norms
+    # and the final divide replicate the JVM's exact expression shape
+    # dot / (sqrt(aa) * sqrt(bb)) — identical IEEE-754 doubles.
+    thr = float(threshold)
+
+    def _score_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
         )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        q = np.stack(pdf["qv"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", q, q))
+        out = []
+        blk = 4096  # bounds the sim tile at blk x B doubles per step
+        for s in range(0, n - 1, blk):
+            e = min(s + blk, n)
+            dots = q[s:e] @ q[s:].T
+            sims = dots / np.outer(norms[s:e], norms[s:])
+            rows, cols = np.nonzero(
+                (sims >= thr)
+                & (np.arange(s, n)[None, :] > np.arange(s, e)[:, None])
+            )
+            if len(rows):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[rows + s],
+                            "id_b": ids[cols + s],
+                            "sim": sims[rows, cols],
+                        }
+                    )
+                )
+        return pd.concat(out) if out else empty
+
+    scored = blocked.groupBy("bkey").applyInPandas(
+        _score_bucket, "id_a long, id_b long, sim double"
     )
     if n_tables > 1:
-        # a pair sharing buckets in several tables appears once per table;
-        # dedup on ids BEFORE scoring (single-table blocking is dup-free,
-        # so the extra shuffle is skipped entirely)
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    scored = pairs.select(
-        "id_a", "id_b", qcosine(F.col("qa"), F.col("qb")).alias("sim")
-    )
-    return scored.filter(F.col("sim") >= threshold)
+        # a pair sharing buckets in several tables appears once per table
+        # with an identical deterministic sim — dedup the (tiny) survivor
+        # set instead of the pre-score candidate pairs
+        scored = scored.dropDuplicates(["id_a", "id_b"])
+    return scored
