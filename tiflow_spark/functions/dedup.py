@@ -68,14 +68,18 @@ def shingles(
     the pipeline becomes explode → map-side partial min → one row per doc
     shuffled (round-1 bench spent most of the minhash query in this
     distinct, not in the hashing)."""
+    # Project the normalized text ONCE before building the gram array: an
+    # expression referenced inside a transform() lambda is re-evaluated per
+    # ELEMENT, so inlining `norm` ran regexp_replace once per shingle —
+    # 14.8M regexp evaluations at sf1.0 instead of 50k (r6 plan dump;
+    # measured 6.1s -> 1.1s for the explode alone).
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    base = _spread(docs).select(F.col(id_col).alias("id"), norm.alias("_norm"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
-        lambda i: norm.substr(i, F.lit(n)),
+        F.sequence(F.lit(1), F.greatest(F.length("_norm") - n + 1, F.lit(1))),
+        lambda i: F.col("_norm").substr(i, F.lit(n)),
     )
-    out = _spread(docs).select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
-    )
+    out = base.select("id", F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -84,9 +88,16 @@ def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
     int, then k universal-hash permutations min()'d in one groupBy
     (map-side combine: one signature row per doc crosses the shuffle).
     Output: (id, h0..h{k-1}) as BIGINT."""
-    base = h60(F.col("shingle")) % F.lit(P_MH)
+    # hash ONCE via a projected column: inlining `base` into the k min()
+    # aggregates re-evaluates md5+conv k times per shingle (the aggregate
+    # planner does no subexpression elimination across aggregate functions —
+    # confirmed in the r6 plan dump: every partial_min carried its own
+    # conv(substring(md5(...)))). Same fix simhash64 carries; measured
+    # 5.6s -> 2.0s at sf1.0 (k=4, 50k docs).
+    base = (h60(F.col("shingle")) % F.lit(P_MH)).alias("_mh_base")
+    sh = sh.select("id", base)
     aggs = [
-        F.min((F.lit(a) * base + F.lit(b)) % F.lit(P_MH)).alias(f"h{i}")
+        F.min((F.lit(a) * F.col("_mh_base") + F.lit(b)) % F.lit(P_MH)).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_params(k))
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -181,22 +192,25 @@ def winnowing_fingerprints(
     array, a second takes per-window array_min slices; explode + distinct.
     Cross-engine exact via h60 (DuckDB oracle: list_transform +
     list_min(list_slice)). Output: (id, fp) distinct."""
+    # norm and the k-gram hash array are projected as columns stage by
+    # stage: referencing them inline inside the transform() lambdas would
+    # re-evaluate them per ELEMENT (norm = one regexp per k-gram, hashes =
+    # one md5 array rebuild per window) — same per-element re-evaluation
+    # trap measured in shingles() (r6).
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    n_grams = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    base = _spread(docs).select(F.col(id_col).alias("id"), norm.alias("_norm"))
+    n_grams = F.greatest(F.length("_norm") - k + 1, F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: h60(norm.substr(i, F.lit(k))),
+        lambda i: h60(F.col("_norm").substr(i, F.lit(k))),
     )
-    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    hashed = base.select("id", hashes.alias("_hs"))
+    n_windows = F.greatest(F.size("_hs") - window + 1, F.lit(1))
     fps = F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda w: F.array_min(F.slice(hashes, w, window)),
+        lambda w: F.array_min(F.slice(F.col("_hs"), w, window)),
     )
-    return (
-        _spread(docs)
-        .select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
-        .distinct()
-    )
+    return hashed.select("id", F.explode(fps).alias("fp")).distinct()
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -46,10 +46,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism (guide §2.5,
+    'input skew: one huge unsplittable file').
+
+    The fixture tables are single-row-group parquet files, which Spark
+    cannot split: every scan arrives as ONE task regardless of
+    maxPartitionBytes, so the scan, the derivation projection AND the
+    partial (map-side) aggregation of whatever runs next are serialized on
+    one core (r6 measurement, sf1.0: lww 3.2s -> 1.9s, net-op algebra
+    2.9s -> 1.4s after spreading). The repartition ships the compact
+    pre-derivation rows once and is skipped when the scan already has
+    enough splits — the 100 TB case, where inputs arrive in hundreds of
+    row groups. Same shape as functions/dedup._spread."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def change_events(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
     """Deterministic change-event derivation from the events table.
-    Kept in exact lockstep with CE_SQL below."""
+    Kept in exact lockstep with CE_SQL below.
+
+    ``spread=True`` fans the (unsplittable single-row-group) scan out to
+    the session's parallelism first — opt-in because the extra exchange
+    only pays off when what follows is aggregation- or compute-heavy
+    (lww/net-op: 1.3-1.5s faster at sf1.0); pure projection queries
+    (update_split, op_order, the encode family) are faster without it."""
     e = _t(spark, sf_dir, "events")
+    if spread:
+        e = _spread(e)
     commit_ts = (F.col("event_id") * 37) % 1_000_000
     return e.select(
         F.when(F.col("event_id") % 10 < 5, "U")
@@ -157,15 +184,23 @@ def _pipeline_registry():
 # ---------------------------------------------------------------- CDC queries
 
 def q_cdc_lww_final_state(spark, sf_dir):
-    ce = change_events(spark, sf_dir)
-    latest = lww_latest(ce)
+    ce = change_events(spark, sf_dir, spread=True)
+    # project to the columns the query returns (+ op for the filter, full
+    # version tuple for the ordering) BEFORE the reduce: the optimizer
+    # cannot prune columns out of max_by's packed payload struct, so
+    # without this the aggregation sorts/ships schema_version,
+    # source_partition and pre_turn it then throws away (guide §2.3)
+    latest = lww_latest(ce.select(
+        "op", "commit_ts", "start_ts", "conv_id", "turn_idx",
+        "role", "text", "val",
+    ))
     return latest.filter(F.col("op") != "D").select(
         "conv_id", "turn_idx", "role", "text", "val", "commit_ts"
     )
 
 
 def q_cdc_lww_salted(spark, sf_dir):
-    ce = change_events(spark, sf_dir)
+    ce = change_events(spark, sf_dir, spread=True)
     latest = lww_latest_window(ce, n_salts=8)
     return latest.filter(F.col("op") != "D").select(
         "conv_id", "turn_idx", "role", "text", "val", "commit_ts"
@@ -185,22 +220,22 @@ _LWW_SQL = f"""
 
 
 def q_cdc_partition_frontiers(spark, sf_dir):
-    return partition_frontiers(change_events(spark, sf_dir))
+    return partition_frontiers(change_events(spark, sf_dir, spread=True))
 
 
 def q_cdc_resolved_ts(spark, sf_dir):
-    fr = partition_frontiers(change_events(spark, sf_dir))
+    fr = partition_frontiers(change_events(spark, sf_dir, spread=True))
     return fr.agg(F.min("resolved_ts").alias("resolved_ts"))
 
 
 def q_cdc_net_op_algebra(spark, sf_dir):
-    return compact_net_op(change_events(spark, sf_dir))
+    return compact_net_op(change_events(spark, sf_dir, spread=True))
 
 
 def q_cdc_txn_grouping(spark, sf_dir):
     """Txn grouping by the exact (start_ts, commit_ts) tuple — the
     SingleTableTxn boundary (/root/reference/cdc/model/sink.go:1162-1177)."""
-    ce = change_events(spark, sf_dir)
+    ce = change_events(spark, sf_dir, spread=True)
     return ce.groupBy("start_ts", "commit_ts").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("conv_id").alias("n_convs"),
@@ -1128,7 +1163,7 @@ def q_cdc_virtual_columns(spark, sf_dir):
 # ------------------------------------------------------------- text queries
 
 def q_text_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     feats = tx.quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -1141,13 +1176,13 @@ def q_text_stats(spark, sf_dir):
 def q_text_bpe(spark, sf_dir):
     """BPE-ish token estimate: ceil(len/4) subwords per word + standalone
     punctuation (byte-pair ~4-chars/token heuristic)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", tx.bpe_token_estimate(F.col("text")).alias("bpe_tokens"))
 
 
 def q_text_quality(spark, sf_dir):
     """Gopher/C4-style quality features + composite score."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     f = tx.quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -1158,12 +1193,12 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_text_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", tx.lang_id(F.col("text")).alias("pred_lang"))
 
 
 def q_text_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -1177,7 +1212,7 @@ def q_docs_prep_pipeline(spark, sf_dir):
     among survivors (keep lowest doc_id per normalized-text fingerprint)
     → token accounting for the kept corpus. The minimal corpus-prep
     pipeline a pretraining run starts with."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     kept = d.select(
         "doc_id", "text",
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
@@ -1426,13 +1461,13 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     queries = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
     return sim.topk_cosine(e, queries, k=10).select("query_id", "vec_id", "rank")
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     queries = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
     return sim.lsh_bucket_topk(
         e, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
@@ -1440,7 +1475,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     queries = e.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
     return sim.ivf_topk(e, queries, n_centroids=16, nprobe=4, k=10).select(
         "query_id", "vec_id", "rank"
@@ -1448,7 +1483,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return sim.embedding_near_dups(
         e, dim=EMBEDDING_DIM, threshold=0.4, n_planes=4
     ).select("id_a", "id_b", F.round("sim", 6).alias("sim"))
