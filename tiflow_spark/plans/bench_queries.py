@@ -15,6 +15,7 @@ md5-derived 60-bit integer hashing and fixed-point vector quantization
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -56,13 +57,30 @@ def _spread(df: DataFrame) -> DataFrame:
     partial (map-side) aggregation of whatever runs next are serialized on
     one core (r6 measurement, sf1.0: lww 3.2s -> 1.9s, net-op algebra
     2.9s -> 1.4s after spreading). The repartition ships the compact
-    pre-derivation rows once and is skipped when the scan already has
-    enough splits — the 100 TB case, where inputs arrive in hundreds of
-    row groups. Same shape as functions/dedup._spread."""
+    pre-derivation rows once and is skipped when:
+    - the scan already has enough splits (the 100 TB case, where inputs
+      arrive in hundreds of row groups), or
+    - the input is tiny (< TIFLOW_SPARK_SPREAD_MIN_BYTES, default 4 MB):
+      below that, single-task compute beats the exchange's fixed cost
+      (measured at sf0.1: lww 1.04s unspread vs 1.43s spread, while at
+      sf1.0 spread wins by 1.3s — the threshold keeps both).
+    Same shape as functions/dedup._spread (which stays unconditional:
+    shingle/token explode work is O(text bytes) per row and dominated the
+    task even at sf0.1)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    min_bytes = int(os.environ.get("TIFLOW_SPARK_SPREAD_MIN_BYTES", 4 * 1024 * 1024))
+    try:
+        total = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except OSError:
+        total = None
+    if total is not None and total < min_bytes:
+        return df
+    return df.repartition(target)
 
 
 def change_events(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
